@@ -1,0 +1,19 @@
+"""delphy_tpu — a TPU-native Bayesian phylogenetics engine.
+
+A from-scratch re-design of the Explicit Mutation-Annotated Tree (EMAT) method of
+broadinstitute/delphy (reference: /root/reference) for JAX/XLA on TPU.  The MCMC
+state lives in fixed-capacity flat device arrays (node arrays + mutation pool +
+missation CSR tables); all likelihood math is expressed as vectorized segment
+sums, prefix scans and pointer-jumping gathers instead of the reference's
+pointer/arena C++ structures.
+
+Double precision is required for the log-posterior ledger discipline
+(reference tolerances 1e-6..1e-8, see core/run.cpp:316-338), so x64 mode is
+enabled package-wide.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from .version import __version__  # noqa: E402,F401
