@@ -131,7 +131,9 @@ def _skygrid_log_int_core(x, gamma_eff, type_, a, b):
     dt = jnp.maximum(hi - lo, 0.0)
 
     if type_ == STAIRCASE:
-        g_k = jnp.concatenate([gamma_eff[:1], gamma_eff, gamma_eff[-1:]])
+        # per-interval gamma: interval 0 -> gamma[0], k in 1..M -> gamma[k],
+        # interval M+1 -> gamma[M]; M+2 intervals total
+        g_k = jnp.concatenate([gamma_eff, gamma_eff[-1:]])
         # contribution_k = exp(g_k) * dt_k
         log_contrib = jnp.where(dt > 0.0, g_k + jnp.log(jnp.where(dt > 0.0, dt, 1.0)), -jnp.inf)
     else:
