@@ -1,0 +1,124 @@
+"""The jitted MCMC super-step: one global-move boundary + a sweep of local moves.
+
+Mirrors the cadence of Run::do_mcmc_steps (core/run.cpp:622-657): each call to
+`super_step` performs a full derived-quantity recompute, the global parameter
+moves, and `n_local_moves` sequential local moves, all inside one XLA program.
+The host syncs once per super-step (default cadence: 50 local moves per node
+per global move, run.cpp:669-671)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..state import TreeState
+from ..evo import EvoParams
+from .. import pop as popm
+from ..ops import likelihood as lk
+from ..ops import coalescent as coal
+from . import moves
+from .moves import Ledger, Caches
+from . import global_moves as gm
+from .global_moves import PriorConfig
+
+
+def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
+                     tin, tout, t_max_tip, hyp: PriorConfig, num_cells: int):
+    """Global moves + grid rebuild + ledger recompute (run.cpp:695-779)."""
+    cnt, nucum = lk.calc_ref_state_prefix(ts, evo)
+    root_freq = lk.calc_root_state_frequencies(ts, evo, cnt)
+    num_muts = lk.calc_num_muts(ts)
+    M_ab = lk.calc_num_muts_ab(ts)
+    Ttwiddle_a = lk.calc_Ttwiddle_a(ts, evo, tin, tout, nucum)
+
+    key, k_mu, k_hky, k_alpha, k_pop = jax.random.split(key, 5)
+
+    # 1. Gibbs sampling of mu (run.cpp:704-709)
+    if hyp.mu_move_enabled and not hyp.mu_fixed:
+        evo = gm.mu_gibbs_move(k_mu, evo, Ttwiddle_a, num_muts, hyp)
+
+    # 2. 10x pseudo-Gibbs HKY frequency + kappa moves (run.cpp:714-719)
+    if hyp.hky_moves_enabled:
+        def hky_body(i, carry):
+            evo, key = carry
+            key, kf, kk = jax.random.split(key, 3)
+            evo = gm.hky_frequencies_move(kf, evo, Ttwiddle_a, M_ab, root_freq)
+            evo = gm.hky_kappa_move(kk, evo, Ttwiddle_a, M_ab, hyp)
+            return (evo, key)
+        evo, _ = jax.lax.fori_loop(0, 10, hky_body, (evo, k_hky))
+
+    # 3. alpha moves + Gibbs of all nu_l (run.cpp:729-732)
+    if hyp.alpha_move_enabled:
+        Ttwiddle_l = lk.calc_Ttwiddle_l(ts, evo, tin, tout)
+        M_l = lk.calc_num_muts_l(ts)
+        evo = gm.alpha_and_nu_moves(k_alpha, evo, Ttwiddle_l, M_l, hyp)
+
+    # 4-pre. Rebuild the coalescent grid around the current tree span
+    # (replaces the reference's t_step retarget + deque growth,
+    # run.cpp:734-747 + scalable_coalescent.cpp:48-86)
+    t_root = ts.t[ts.root]
+    span = jnp.maximum(t_max_tip - t_root, 1.0)
+    t_lo = t_root - 0.35 * span - 1.0
+    t_step = (t_max_tip - t_lo) / num_cells
+    is_tip = ts.is_tip
+    grid = coal.make_grid(pop_params, ts.t, is_tip, t_lo, t_step, num_cells)
+
+    # 4. Pseudo-Gibbs sampling of population parameters (run.cpp:749-764)
+    if isinstance(pop_params, popm.ExpPopParams) and (
+            hyp.pop_size_move_enabled or hyp.pop_growth_rate_move_enabled):
+        pop_params = gm.exp_pop_moves(k_pop, pop_params, grid, ts.t, is_tip, hyp)
+        grid = grid._replace(
+            popsize_bar=coal.calc_popsize_bars(pop_params, grid.t_lo, grid.t_step,
+                                               num_cells))
+
+    # Final ledger: full recompute under the accepted parameters
+    caches = gm.compute_caches(ts, evo)
+    log_G = lk.calc_log_G(ts, evo, caches.lambda_i, caches.root_freq)
+    log_coal = coal.calc_log_prior(grid, pop_params, ts.t, is_tip)
+    log_other = gm.calc_log_other_priors(evo, pop_params, hyp)
+    ledger = Ledger(log_G=log_G, log_coal=log_coal, log_other=log_other)
+
+    stats = {
+        "num_muts": num_muts,
+        "M_ab": M_ab,
+        "Ttwiddle_a": Ttwiddle_a,
+    }
+    return ts, evo, pop_params, grid, caches, ledger, key, stats
+
+
+def run_local_sweep(ts: TreeState, caches: Caches, grid, ledger, evo, pop_params,
+                    key, n_moves, t_max_tip):
+    """n_moves sequential local moves in one fori_loop (cf. Subrun::mcmc_sub_iteration,
+    subrun.cpp:98-121; move mix weights 7.5/7.5/15 with topology moves pending)."""
+    def body(i, carry):
+        ts, grid, ledger, key = carry
+        key, k_sel, k_node, k_prop, k_acc = jax.random.split(key, 5)
+        r = jax.random.uniform(k_sel, (), jnp.float64, 0.0, 30.0)
+        idx = (r >= 7.5).astype(jnp.int32) + (r >= 15.0).astype(jnp.int32)
+        keys = (k_node, k_prop, k_acc)
+        c4 = (ts, caches, grid, ledger)
+        c4 = jax.lax.switch(idx, [
+            lambda c: moves.inner_node_displace(c, keys, pop_params, t_max_tip),
+            lambda c: moves.tip_displace(c, keys, pop_params, t_max_tip),
+            lambda c: moves.branch_reform(c, keys, evo, pop_params, t_max_tip),
+        ], c4)
+        ts, _, grid, ledger = c4
+        return (ts, grid, ledger, key)
+
+    ts, grid, ledger, key = jax.lax.fori_loop(
+        0, n_moves, body, (ts, grid, ledger, key))
+    return ts, grid, ledger, key
+
+
+@partial(jax.jit, static_argnames=("hyp", "num_cells"))
+def super_step(ts: TreeState, evo: EvoParams, pop_params, key,
+               tin, tout, n_local_moves, t_max_tip,
+               hyp: PriorConfig, num_cells: int):
+    """One global boundary + n_local_moves local moves."""
+    ts, evo, pop_params, grid, caches, ledger, key, stats = run_global_moves(
+        ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells)
+    ts, grid, ledger, key = run_local_sweep(
+        ts, caches, grid, ledger, evo, pop_params, key, n_local_moves, t_max_tip)
+    return ts, evo, pop_params, key, ledger, stats

@@ -1,0 +1,221 @@
+"""Local MCMC moves, fully vectorized per move.
+
+Each move body is O(pool + grid-cells) of vectorized VPU work with no
+data-dependent shapes, so a sweep compiles to a single fori_loop kernel.
+Move semantics mirror core/subrun.cpp:
+
+  inner-node displace  (subrun.cpp:148-232)  weight 7.5
+  tip displace         (subrun.cpp:234-285)  weight 7.5
+  branch reform        (subrun.cpp:287-320)  weight 15.0
+
+Node-time proposals sample exactly from p(t) ~ exp(d_logG_dt * t) on
+[t_min, t_max] via the bounded exponential inverse CDF (distributions.h:38-68),
+making the genetic-likelihood part of the MH ratio cancel; only the coalescent
+prior delta remains.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..state import TreeState
+from ..evo import EvoParams
+from ..ops import coalescent as coal
+
+
+class Ledger(NamedTuple):
+    log_G: jnp.ndarray
+    log_coal: jnp.ndarray
+    log_other: jnp.ndarray
+
+    @property
+    def log_posterior(self):
+        return self.log_G + self.log_coal + self.log_other
+
+
+class Caches(NamedTuple):
+    """Derived quantities that stay constant through a local sweep (no
+    topology moves yet — mutation sets and missations are fixed, only times
+    move, so lambda_i is invariant; cf. subrun.h:42-65)."""
+    lambda_i: jnp.ndarray    # f64[N]
+    dlam_miss: jnp.ndarray   # f64[N]: delta-lambda across each node's own missations
+    ref_cum_Q: jnp.ndarray   # f64[L+1]
+    root_freq: jnp.ndarray   # f64[4]
+
+
+def bounded_exp_sample(key, lam, a, b):
+    """Sample x ~ exp(lam*x) on [a,b] (reference distributions.h:38-68).
+
+    All branches are computed with guarded inputs and combined with where, so
+    the function is safe under jit for any finite a<b and any lam.
+    """
+    u = jax.random.uniform(key, (), dtype=jnp.float64, minval=1e-300, maxval=1.0)
+    ltr = lam * (b - a)
+    safe_lam = jnp.where(lam == 0.0, 1.0, lam)
+    # stable middle branch: clamp exponent to avoid overflow (selected away)
+    ltr_c = jnp.clip(ltr, -100.0, 100.0)
+    mid = a + jnp.log1p(u * jnp.expm1(ltr_c)) / safe_lam
+    hi = b + jnp.log(u) / safe_lam   # lam > 0, ltr >> 1
+    lo = a + jnp.log(u) / safe_lam   # lam < 0, ltr << -1
+    x = jnp.where(lam == 0.0, a + u * (b - a),
+                  jnp.where((lam > 0.0) & (ltr > 100.0), hi,
+                            jnp.where((lam < 0.0) & (ltr < -100.0), lo, mid)))
+    return jnp.clip(x, a, b)
+
+
+def _own_mut_time_max(ts: TreeState, node):
+    """max mutation time on the branch ending at `node` (-inf if none);
+    root deltas are excluded via the node != root condition at call sites."""
+    mask = ts.mut_node == node
+    return jnp.max(jnp.where(mask, ts.mut_t, -jnp.inf))
+
+
+def _child_bound(ts: TreeState, child):
+    """min(t_child, min mutation time on child's branch); +inf for child == -1."""
+    valid = child >= 0
+    c = jnp.maximum(child, 0)
+    mask = (ts.mut_node == c) & valid
+    mut_min = jnp.min(jnp.where(mask, ts.mut_t, jnp.inf))
+    return jnp.where(valid, jnp.minimum(ts.t[c], mut_min), jnp.inf)
+
+
+def _mh_accept(key, log_mh):
+    u = jax.random.uniform(key, (), dtype=jnp.float64, minval=1e-300, maxval=1.0)
+    return (log_mh >= 0.0) | (jnp.log(u) < log_mh)
+
+
+def inner_node_displace(carry, keys, pop_params, t_max_tip):
+    """Displace one random inner node in time (subrun.cpp:148-232)."""
+    ts, caches, grid, ledger = carry
+    k_node, k_prop, k_acc = keys
+    T = ts.num_tips
+    N = ts.num_nodes
+
+    node = T + jax.random.randint(k_node, (), 0, N - T)
+    is_root = node == ts.root
+
+    safe_par = jnp.maximum(ts.parent[node], 0)
+    grid_lo = grid.t_lo + grid.t_step  # keep proposals on-grid (cf. ensure_space)
+    t_par = jnp.where(is_root, grid_lo, ts.t[safe_par])
+    own_max = jnp.where(is_root, -jnp.inf, _own_mut_time_max(ts, node))
+    t_min = jnp.maximum(t_par, own_max)
+
+    c0 = ts.children[node, 0]
+    c1 = ts.children[node, 1]
+    t_max = jnp.minimum(_child_bound(ts, c0), _child_bound(ts, c1))
+
+    lam = caches.lambda_i[node]
+    lam_below_0 = lam + caches.dlam_miss[jnp.maximum(c0, 0)]
+    lam_below_1 = lam + caches.dlam_miss[jnp.maximum(c1, 0)]
+    d_logG_dt = jnp.where(is_root, 0.0, -lam) + lam_below_0 + lam_below_1
+
+    old_t = ts.t[node]
+
+    # root: Gaussian proposal with capped scale (subrun.cpp:188-201)
+    tree_span = jnp.maximum(t_max_tip - t_max, 0.0)
+    safe_lam = jnp.maximum(lam, 1e-300)
+    delta_scale = jnp.minimum(0.5 / safe_lam, tree_span)
+    root_t = old_t + delta_scale * jax.random.normal(k_prop, (), dtype=jnp.float64)
+
+    # non-root: exact bounded-exponential proposal
+    a = jnp.where(t_min > -jnp.inf, t_min, old_t - 1.0)  # always finite for non-root
+    b = jnp.where(t_max < jnp.inf, t_max, old_t + 1.0)
+    bexp_t = bounded_exp_sample(k_prop, d_logG_dt, jnp.minimum(a, b), b)
+
+    new_t = jnp.where(is_root, root_t, bexp_t)
+    in_bounds = (new_t > t_min) & (new_t < t_max) & (t_min < t_max)
+
+    dt = new_t - old_t
+    delta_log_G = d_logG_dt * dt
+    log_alpha = jnp.where(is_root, 0.0, delta_log_G)
+
+    delta_coal, new_k = coal.displace_delta(grid, pop_params, old_t, new_t,
+                                            jnp.bool_(False))
+    log_mh = delta_log_G + delta_coal - log_alpha
+    accept = in_bounds & _mh_accept(k_acc, log_mh)
+
+    ts = ts._replace(t=ts.t.at[node].set(jnp.where(accept, new_t, old_t)))
+    grid = grid._replace(k_bar=jnp.where(accept, new_k, grid.k_bar))
+    ledger = ledger._replace(
+        log_G=ledger.log_G + jnp.where(accept, delta_log_G, 0.0),
+        log_coal=ledger.log_coal + jnp.where(accept, delta_coal, 0.0))
+    return (ts, caches, grid, ledger)
+
+
+def tip_displace(carry, keys, pop_params, t_max_tip):
+    """Displace one random tip within its date-uncertainty bounds
+    (subrun.cpp:234-285)."""
+    ts, caches, grid, ledger = carry
+    k_node, k_prop, k_acc = keys
+    T = ts.num_tips
+
+    node = jax.random.randint(k_node, (), 0, T)
+    has_unc = ts.t_min[node] < ts.t_max[node]
+
+    t_min = jnp.maximum(ts.t_min[node],
+                        jnp.maximum(ts.t[jnp.maximum(ts.parent[node], 0)],
+                                    _own_mut_time_max(ts, node)))
+    t_max = ts.t_max[node]
+
+    d_logG_dt = -caches.lambda_i[node]
+    old_t = ts.t[node]
+    new_t = bounded_exp_sample(k_prop, d_logG_dt, jnp.minimum(t_min, t_max), t_max)
+    in_bounds = has_unc & (new_t > t_min) & (new_t < t_max) & (t_min < t_max)
+
+    delta_log_G = d_logG_dt * (new_t - old_t)
+    delta_coal, new_k = coal.displace_delta(grid, pop_params, old_t, new_t,
+                                            jnp.bool_(True))
+    log_mh = delta_coal  # delta_log_G cancels against the proposal density
+    accept = in_bounds & _mh_accept(k_acc, log_mh)
+
+    ts = ts._replace(t=ts.t.at[node].set(jnp.where(accept, new_t, old_t)))
+    grid = grid._replace(k_bar=jnp.where(accept, new_k, grid.k_bar))
+    ledger = ledger._replace(
+        log_G=ledger.log_G + jnp.where(accept, delta_log_G, 0.0),
+        log_coal=ledger.log_coal + jnp.where(accept, delta_coal, 0.0))
+    return (ts, caches, grid, ledger)
+
+
+def branch_reform(carry, keys, evo: EvoParams, pop_params, t_max_tip):
+    """Resample all mutation times on one random branch ~ U(t_P, t_X]
+    (subrun.cpp:287-320; proposal randomize_branch_mutation_times,
+    phylo_tree.cpp:579-645).
+
+    Per-site time ordering on multiply-mutated sites is preserved with a
+    double-lexsort: slots grouped by (site) keep their old relative order and
+    receive the sorted new times of their group.
+    """
+    ts, caches, grid, ledger = carry
+    k_node, k_prop, k_acc = keys
+    N = ts.num_nodes
+
+    X = jax.random.randint(k_node, (), 0, N)
+    valid = X != ts.root
+    P = jnp.maximum(ts.parent[X], 0)
+    t_P, t_X = ts.t[P], ts.t[X]
+
+    mask = (ts.mut_node == X) & valid
+    M = ts.mut_t.shape[0]
+    u = jax.random.uniform(k_prop, (M,), dtype=jnp.float64, minval=1e-16, maxval=1.0)
+    raw = t_P + u * (t_X - t_P)  # in (t_P, t_X]
+
+    # per-site order preservation: group masked slots by site
+    group = jnp.where(mask, ts.mut_site.astype(jnp.float64), jnp.inf)
+    perm_old = jnp.lexsort((ts.mut_t, group))
+    perm_new = jnp.lexsort((raw, group))
+    matched = jnp.zeros(M, jnp.float64).at[perm_old].set(raw[perm_new])
+    new_mut_t = jnp.where(mask, matched, ts.mut_t)
+
+    q_a = evo.q_a
+    site = jnp.maximum(ts.mut_site, 0)
+    slope = evo.mu * evo.nu[site] * (q_a[jnp.maximum(ts.mut_from, 0)] -
+                                     q_a[jnp.maximum(ts.mut_to, 0)])
+    delta_log_G = jnp.sum(jnp.where(mask, -slope * (new_mut_t - ts.mut_t), 0.0))
+
+    accept = valid & _mh_accept(k_acc, delta_log_G)
+    ts = ts._replace(mut_t=jnp.where(accept, new_mut_t, ts.mut_t))
+    ledger = ledger._replace(log_G=ledger.log_G + jnp.where(accept, delta_log_G, 0.0))
+    return (ts, caches, grid, ledger)

@@ -1,0 +1,136 @@
+"""MCMC run driver (host side).
+
+Owns the device state and the step/cadence bookkeeping; each
+`do_mcmc_steps` call dispatches jitted super-steps (global boundary + local
+sweep).  Mirrors the reference's Run (core/run.{h,cpp}) minus the thread-pool
+partition machinery (partition parallelism arrives via a device mesh instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .phylo import FlatTree
+from .state import pack_state, unpack_state, TreeState
+from .evo import make_evo_params, EvoParams
+from . import pop as popm
+from .ops import likelihood as lk
+from .ops import coalescent as coal
+from .mcmc.kernel import super_step
+from .mcmc import global_moves as gm
+from .mcmc.global_moves import PriorConfig
+from .mcmc.moves import Ledger
+
+
+class Run:
+    def __init__(self, tree: FlatTree, seed: int = 0, hyp: PriorConfig = PriorConfig(),
+                 num_cells: int = 512, local_moves_per_global_move: int = -1):
+        tree.check_integrity()
+        self.names = list(tree.name)
+        self.ts: TreeState = pack_state(tree)
+        self.hyp = hyp
+        self.num_cells = num_cells
+        N = self.ts.num_nodes
+        self.local_moves_per_global_move = (
+            50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
+
+        # initial HKY pi from ref-sequence state frequencies (run.cpp:61-80)
+        freq = np.bincount(np.asarray(tree.ref_seq), minlength=4).astype(np.float64)
+        est_pi = freq / freq.sum()
+        if est_pi.min() < 0.01 or est_pi.max() > 0.99:
+            est_pi = np.full(4, 0.25)
+        self.evo: EvoParams = make_evo_params(
+            tree.num_sites, mu=1e-3 / 365.0, kappa=1.0, pi=est_pi, alpha=10.0)
+
+        t_max_tip = float(np.max(tree.t_max[:tree.num_tips]))
+        self.t_max_tip = t_max_tip
+        # default pop model: Exp(t0 = max tip time, n0=1000, g=0, min_pop=1)
+        # (run.cpp:21)
+        self.pop = popm.ExpPopParams(
+            t0=jnp.float64(t_max_tip), n0=jnp.float64(1000.0),
+            g=jnp.float64(0.0), min_pop=jnp.float64(1.0))
+
+        tin, tout = tree.euler_positions()
+        self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
+
+        self.key = jax.random.PRNGKey(seed)
+        self.step = 0
+        self.ledger: Ledger | None = None
+        self.last_stats = None
+
+    # -- parameter setters (subset of the reference's Run API) --------------
+
+    def set_mu(self, mu: float):
+        self.evo = self.evo._replace(mu=jnp.float64(mu))
+
+    def set_alpha(self, alpha: float):
+        self.evo = self.evo._replace(alpha=jnp.float64(alpha))
+
+    def set_pop(self, n0=None, g=None):
+        if n0 is not None:
+            self.pop = self.pop._replace(n0=jnp.float64(n0))
+        if g is not None:
+            self.pop = self.pop._replace(g=jnp.float64(g))
+
+    # -- MCMC ---------------------------------------------------------------
+
+    def do_mcmc_steps(self, n_steps: int):
+        """Advance n_steps local moves, interleaving global boundaries at the
+        configured cadence (cf. Run::do_mcmc_steps, run.cpp:622-657)."""
+        done = 0
+        while done < n_steps:
+            chunk = min(self.local_moves_per_global_move, n_steps - done)
+            (self.ts, self.evo, self.pop, self.key, self.ledger,
+             self.last_stats) = super_step(
+                self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
+                chunk, self.t_max_tip, self.hyp, self.num_cells)
+            done += chunk
+        self.step += n_steps
+
+    # -- observability --------------------------------------------------------
+
+    @property
+    def log_posterior(self) -> float:
+        return float(self.ledger.log_posterior)
+
+    def tree(self) -> FlatTree:
+        return unpack_state(self.ts, names=self.names)
+
+    def calc_cur_ledger(self) -> Ledger:
+        """Full from-scratch recompute of the ledger under current params —
+        the incremental-vs-recompute invariant used throughout the reference
+        (run.cpp:316-338, subrun.cpp:28-56)."""
+        caches = gm.compute_caches(self.ts, self.evo)
+        log_G = lk.calc_log_G(self.ts, self.evo, caches.lambda_i, caches.root_freq)
+        t_root = float(self.ts.t[self.ts.root])
+        span = max(self.t_max_tip - t_root, 1.0)
+        t_lo = t_root - 0.35 * span - 1.0
+        t_step = (self.t_max_tip - t_lo) / self.num_cells
+        grid = coal.make_grid(self.pop, self.ts.t, self.ts.is_tip, t_lo, t_step,
+                              self.num_cells)
+        log_coal = coal.calc_log_prior(grid, self.pop, self.ts.t, self.ts.is_tip)
+        log_other = gm.calc_log_other_priors(self.evo, self.pop, self.hyp)
+        return Ledger(log_G=log_G, log_coal=log_coal, log_other=log_other)
+
+    def check_derived_quantities(self, tol: float = 1e-6):
+        """Debug invariant: incrementally-maintained log_G must match a full
+        recompute (the reference's check at run.cpp:316-338)."""
+        if self.ledger is None:
+            return
+        expect = self.calc_cur_ledger()
+        got = float(self.ledger.log_G)
+        want = float(expect.log_G)
+        assert abs(got - want) < tol, f"log_G drift: {got} != {want}"
+
+    def stats_line(self) -> str:
+        led = self.ledger
+        pi = np.asarray(self.evo.pi)
+        return (f"step {self.step}  log_post {float(led.log_posterior):.4f}  "
+                f"log_G {float(led.log_G):.4f}  log_coal {float(led.log_coal):.4f}  "
+                f"muts {int(self.last_stats['num_muts'])}  "
+                f"mu {float(self.evo.mu)*365.0:.3e}/yr  kappa {float(self.evo.kappa):.3f}  "
+                f"pi [{pi[0]:.2f} {pi[1]:.2f} {pi[2]:.2f} {pi[3]:.2f}]  "
+                f"n0 {float(self.pop.n0):.2f}  g {float(self.pop.g)*365.0:.3f}/yr  "
+                f"t_root {float(self.ts.t[self.ts.root]):.2f}")
