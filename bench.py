@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark: MCMC local-move throughput on an Ebola-scale synthetic dataset.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference delphy sustains ~0.5 M steps/s on the Ebola dataset
+(81 seqs x 18,959 sites) on an AWS c5a.2xlarge (delphywp.pdf §5; BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import numpy as np
+    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.phylo import build_random_tree
+    from delphy_tpu.run import Run
+
+    # Ebola-scale: 81 tips x ~19k sites
+    T, L = 81, 18959
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=1.2e-3 / 365.0 * 19000 / L, sample_window_days=500.0,
+        missing_fraction=0.01, seed=42)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(42))
+    run = Run(tree, seed=1, num_cells=400)
+
+    run.do_mcmc_steps(10)  # compile + warm up
+    run.do_mcmc_steps(1000)
+
+    target_seconds = float(os.environ.get("BENCH_SECONDS", "20"))
+    n = 20000
+    t0 = time.time()
+    done = 0
+    while time.time() - t0 < target_seconds:
+        run.do_mcmc_steps(n)
+        done += n
+    dt = time.time() - t0
+    moves_per_s = done / dt
+
+    run.check_derived_quantities(1e-5)
+
+    baseline = 0.5e6  # reference Ebola steps/s on 8-vCPU c5a.2xlarge
+    print(json.dumps({
+        "metric": "mcmc_local_moves_per_second_ebola_scale",
+        "value": round(moves_per_s, 1),
+        "unit": "moves/s",
+        "vs_baseline": round(moves_per_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    os._exit(0)  # the axon tunnel keeps non-daemon threads alive

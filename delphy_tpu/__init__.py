@@ -12,8 +12,12 @@ Double precision is required for the log-posterior ledger discipline
 enabled package-wide.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+if os.environ.get("DELPHY_TPU_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 from .version import __version__  # noqa: E402,F401

@@ -1,0 +1,146 @@
+"""IO round-trip tests: MAPLE, FASTA, date parsing, BEAST outputs, CLI."""
+
+import io
+import subprocess
+import sys
+import os
+
+import numpy as np
+
+from delphy_tpu import seq as seqm
+from delphy_tpu.dates import (parse_iso_date, parse_iso_month, parse_iso_year,
+                              extract_date_range_from_id, to_linear_year)
+from delphy_tpu.io.fasta import read_fasta, deduce_consensus, fasta_to_tips
+from delphy_tpu.io.maple import read_maple, write_maple
+from delphy_tpu.io.beast_out import newick_string
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_random_tree
+
+
+def test_dates():
+    assert parse_iso_date("2020-01-01") == 0.0
+    assert parse_iso_date("2020-01-03") == 2.0
+    assert parse_iso_date("2019-12-31") == -1.0
+    assert parse_iso_month("2020-02") == (31.0, 60.0)
+    lo, hi = parse_iso_year("2021")
+    assert lo == 366.0 and hi == 731.0
+    assert abs(to_linear_year(parse_iso_date("2024-02-01")) - (2024 + 31 / 366)) < 1e-9
+
+
+def test_extract_date_range():
+    assert extract_date_range_from_id("seq|EPI_ISL_123|2022-10-01") == (
+        parse_iso_date("2022-10-01"),) * 2
+    assert extract_date_range_from_id("a-b-2016-01-19") == (parse_iso_date("2016-01-19"),) * 2
+    r = extract_date_range_from_id("x|2021-03")
+    assert r == parse_iso_month("2021-03")
+    r = extract_date_range_from_id("x|2021")
+    assert r == parse_iso_year("2021")
+    r = extract_date_range_from_id("x|2024-11-05/2024-12-26")
+    assert r == (parse_iso_date("2024-11-05"), parse_iso_date("2024-12-26"))
+    assert extract_date_range_from_id("no_date_here") is None
+
+
+def test_maple_roundtrip(tmp_path):
+    p = tmp_path / "test.maple"
+    p.write_text(
+        ">ref\n"
+        "ACGTACGTAC\n"
+        ">tip1|2021-05-01\n"
+        "t\t3\n"
+        "n\t5\t2\n"
+        ">tip2|2021-06\n"
+        "a\t2\n"
+        ">nodate_tip\n"
+        "c\t1\n"
+        ">tip3|2021-07-01\n")
+    warns = []
+    mf = read_maple(p, warn=warns.append)
+    assert seqm.real_to_str(mf.ref_seq) == "ACGTACGTAC"
+    assert len(mf.tips) == 3  # nodate_tip dropped
+    assert any("nodate_tip" in w for w in warns)
+    t1 = mf.tips[0]
+    assert t1.deltas == [(2, 3)]
+    assert t1.miss_intervals == [(4, 6)]
+    t2 = mf.tips[1]
+    assert t2.deltas == [(1, 0)]
+    assert t2.t_min < t2.t_max  # whole-month uncertainty
+    assert mf.tips[2].deltas == []
+
+    # round-trip
+    p2 = tmp_path / "out.maple"
+    write_maple(p2, "ref", mf.ref_seq, mf.tips)
+    mf2 = read_maple(p2)
+    assert [t.deltas for t in mf2.tips] == [t.deltas for t in mf.tips]
+    assert [t.miss_intervals for t in mf2.tips] == [t.miss_intervals for t in mf.tips]
+
+
+def test_maple_ambiguous_ref_blacklist(tmp_path):
+    p = tmp_path / "amb.maple"
+    p.write_text(
+        ">ref\nACNTA\n"
+        ">tip1|2021-05-01\n"
+        "g\t3\n"     # delta at blacklisted site 3 (1-based) -> tip dropped
+        ">tip2|2021-05-02\n"
+        "g\t4\n")
+    warns = []
+    mf = read_maple(p, warn=warns.append)
+    assert seqm.real_to_str(mf.ref_seq) == "ACATA"  # N -> A
+    assert len(mf.tips) == 1
+    assert mf.tips[0].name.startswith("tip2")
+
+
+def test_fasta_pipeline(tmp_path):
+    p = tmp_path / "test.fasta"
+    p.write_text(
+        ">a|2021-01-01\nACGTACGTNN\n"
+        ">b|2021-01-02\nACCTACGTAC\n"
+        ">c|2021-01-03\nACGTACGTAC\n")
+    records = read_fasta(p)
+    assert len(records) == 3
+    ref = deduce_consensus(records, 10)
+    assert seqm.real_to_str(ref) == "ACGTACGTAC"
+    tips = fasta_to_tips(records, ref)
+    assert len(tips) == 3
+    assert tips[0].miss_intervals == [(8, 10)]
+    assert tips[1].deltas == [(2, 1)]
+
+
+def test_newick_roundtrip_structure():
+    ref, deltas, miss, dates, names, _ = simulate_dataset(6, 50, mu=1e-3, seed=2)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names)
+    s = newick_string(tree)
+    assert s.endswith(";")
+    assert s.count("(") == tree.num_tips - 1
+    assert s.count(",") == tree.num_tips - 1
+
+
+def test_cli_end_to_end(tmp_path):
+    ref, deltas, miss, dates, names, _ = simulate_dataset(8, 100, mu=2e-3, seed=4)
+    from delphy_tpu.io.fasta import TipData
+    from delphy_tpu.io.maple import write_maple
+    from delphy_tpu.dates import to_iso_date
+    tips = [TipData(name=f"s{i}|{to_iso_date(dates[i][0])}", t_min=dates[i][0],
+                    t_max=dates[i][1], deltas=deltas[i], miss_intervals=miss[i])
+            for i in range(8)]
+    mp = tmp_path / "in.maple"
+    write_maple(mp, "ref", ref, tips)
+
+    log_f = tmp_path / "out.log"
+    trees_f = tmp_path / "out.trees"
+    env = dict(os.environ)
+    env["DELPHY_TPU_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "delphy_tpu.cli",
+         "--v0-in-maple", str(mp), "--v0-steps", "2000",
+         "--v0-out-log-file", str(log_f), "--v0-out-trees-file", str(trees_f),
+         "--v0-seed", "3"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    log_lines = log_f.read_text().strip().split("\n")
+    assert log_lines[0].startswith("Sample\tposterior")
+    assert len(log_lines) >= 2
+    trees_text = trees_f.read_text()
+    assert trees_text.startswith("#NEXUS")
+    assert "tree STATE_" in trees_text
+    assert trees_text.rstrip().endswith("End;")
