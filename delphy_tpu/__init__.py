@@ -20,4 +20,13 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("DELPHY_TPU_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: kernels are re-dispatched across many host
+# processes (CLI runs, benches); first TPU compiles are expensive.
+_cache_dir = os.environ.get("DELPHY_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/delphy_tpu_xla"))
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .version import __version__  # noqa: E402,F401

@@ -179,6 +179,85 @@ class FlatTree:
                 assert 0 <= s < e <= self.num_sites
             for a, b in zip(iv, iv[1:]):
                 assert a[1] <= b[0], f"overlapping missation intervals on {i}"
+        # canonical missation form (fix_up_missations invariant): siblings
+        # never share a missing site; no missation nested below another
+        def sites_of(n):
+            out = set()
+            for (s, e) in self.miss_intervals[n]:
+                out.update(range(s, e))
+            return out
+        for p in range(N):
+            if self.is_tip(p):
+                continue
+            c1, c2 = int(self.children[p, 0]), int(self.children[p, 1])
+            shared = sites_of(c1) & sites_of(c2)
+            assert not shared, f"non-canonical missations at junction {p}: {sorted(shared)[:5]}"
+        for i in range(N):
+            if i == self.root:
+                continue
+            above = set()
+            cur = int(self.parent[i])
+            while cur != NO_NODE:
+                above |= sites_of(cur)
+                cur = int(self.parent[cur])
+            nested = sites_of(i) & above
+            assert not nested, f"nested missation at node {i}: {sorted(nested)[:5]}"
+
+
+def fix_up_missations(tree: FlatTree):
+    """Normalize missations (reference fix_up_missations, phylo_tree.h:102):
+    a site missing on both sibling branches is recorded on the parent branch
+    instead, recursively (bottom-up).  Mutations on the parent branch at a
+    factored site are absorbed into the missation's from-state (they carry no
+    information once the site is missing below the branch start)."""
+    order = tree.post_order()
+    for p in order:
+        if tree.is_tip(p):
+            continue
+        c1, c2 = (int(tree.children[p, 0]), int(tree.children[p, 1]))
+        s1 = set()
+        for (s, e) in tree.miss_intervals[c1]:
+            s1.update(range(s, e))
+        s2 = set()
+        for (s, e) in tree.miss_intervals[c2]:
+            s2.update(range(s, e))
+        common = s1 & s2
+        if not common:
+            continue
+        for l in common:
+            frm = tree.miss_from_states[c1].get(l, int(tree.ref_seq[l]))
+            tree.miss_from_states[c1].pop(l, None)
+            tree.miss_from_states[c2].pop(l, None)
+            # absorb p-branch mutations at l: the missation's from-state
+            # becomes the state before the earliest of them
+            muts_at_l = [m for m in tree.mutations[p] if m.site == l]
+            if muts_at_l:
+                frm = muts_at_l[0].from_
+                tree.mutations[p] = [m for m in tree.mutations[p] if m.site != l]
+            if frm == int(tree.ref_seq[l]):
+                tree.miss_from_states[p].pop(l, None)
+            else:
+                tree.miss_from_states[p][l] = frm
+        def to_iv(sites):
+            if not sites:
+                return []
+            arr = sorted(sites)
+            out = []
+            start = prev = arr[0]
+            for x in arr[1:]:
+                if x == prev + 1:
+                    prev = x
+                else:
+                    out.append((start, prev + 1))
+                    start = prev = x
+            out.append((start, prev + 1))
+            return out
+        tree.miss_intervals[c1] = to_iv(s1 - common)
+        tree.miss_intervals[c2] = to_iv(s2 - common)
+        pm = set()
+        for (s, e) in tree.miss_intervals[p]:
+            pm.update(range(s, e))
+        tree.miss_intervals[p] = to_iv(pm | common)
 
 
 def build_random_tree(ref_seq: np.ndarray,
@@ -253,4 +332,5 @@ def build_random_tree(ref_seq: np.ndarray,
             mutations[i].append(Mutation(site=site, from_=frm, to=to, t=mt))
         mutations[i].sort(key=lambda m: m.key())
 
+    fix_up_missations(tree)
     return tree
