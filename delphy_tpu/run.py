@@ -24,14 +24,42 @@ from .mcmc.global_moves import PriorConfig
 from .mcmc.moves import Ledger
 
 
+def _round_cap(n: int) -> int:
+    return (max(n, 64) + 127) // 128 * 128
+
+
+class ExpPopHost:
+    """Float view of ExpPopParams for the host topology mixer."""
+
+    def __init__(self, p: popm.ExpPopParams):
+        self.t0 = float(p.t0)
+        self.n0 = float(p.n0)
+        self.g = float(p.g)
+        self.min_pop = float(p.min_pop)
+
+
 class Run:
     def __init__(self, tree: FlatTree, seed: int = 0, hyp: PriorConfig = PriorConfig(),
-                 num_cells: int = 512, local_moves_per_global_move: int = -1):
+                 num_cells: int = 512, local_moves_per_global_move: int = -1,
+                 topology_moves_enabled: bool = True):
         tree.check_integrity()
         self.names = list(tree.name)
-        self.ts: TreeState = pack_state(tree)
+        # generous pool headroom so topology moves rarely force a reshape
+        # (shape changes re-jit the sweep kernel)
+        n_muts = tree.num_mutations() + len(tree.mutations[tree.root])
+        self.mut_capacity = _round_cap(2 * n_muts + 256)
+        n_ivs = sum(len(iv) for iv in tree.miss_intervals)
+        self.miss_capacity = _round_cap(2 * n_ivs + 128)
+        n_fs = sum(len(fs) for fs in tree.miss_from_states)
+        self.fs_capacity = _round_cap(4 * n_fs + 128)
+        self.ts: TreeState = pack_state(tree, self.mut_capacity,
+                                        self.miss_capacity, self.fs_capacity)
         self.hyp = hyp
         self.num_cells = num_cells
+        self.topology_moves_enabled = topology_moves_enabled
+        self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
+        self.topology_accepted = 0
+        self.topology_proposed = 0
         N = self.ts.num_nodes
         self.local_moves_per_global_move = (
             50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
@@ -78,7 +106,12 @@ class Run:
 
     def do_mcmc_steps(self, n_steps: int):
         """Advance n_steps local moves, interleaving global boundaries at the
-        configured cadence (cf. Run::do_mcmc_steps, run.cpp:622-657)."""
+        configured cadence (cf. Run::do_mcmc_steps, run.cpp:622-657).
+
+        The device sweep performs the time/parameter moves (weights
+        7.5/7.5/15 of 32); topology moves (subtree-slide + SPR1, weights
+        1+1 of 32) run as host bursts at chunk boundaries — the kernels
+        compose in a fixed order, preserving the stationary distribution."""
         done = 0
         while done < n_steps:
             chunk = min(self.local_moves_per_global_move, n_steps - done)
@@ -86,8 +119,41 @@ class Run:
              self.last_stats) = super_step(
                 self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
                 chunk, self.t_max_tip, self.hyp, self.num_cells)
+            if self.topology_moves_enabled:
+                k = int(self.host_rng.binomial(chunk, 2.0 / 30.0))
+                if k > 0:
+                    self._topology_burst(k)
             done += chunk
         self.step += n_steps
+
+    def _topology_burst(self, n_moves: int):
+        from .topo import TopologyMixer
+        tree = unpack_state(self.ts, names=self.names)
+        mixer = TopologyMixer(tree, self.host_rng,
+                              num_cells=min(self.num_cells, 400))
+        mixer.run_burst(n_moves, float(self.evo.mu), np.asarray(self.evo.nu),
+                        np.asarray(self.evo.q), np.asarray(self.evo.pi),
+                        ExpPopHost(self.pop), self.t_max_tip)
+        self.topology_accepted += mixer.n_accepted
+        self.topology_proposed += mixer.n_proposed
+        if self.ledger is not None:
+            self.ledger = self.ledger._replace(
+                log_G=self.ledger.log_G + mixer.delta_log_G,
+                log_coal=self.ledger.log_coal + mixer.delta_log_coal)
+
+        n_muts = tree.num_mutations() + len(tree.mutations[tree.root])
+        while n_muts > self.mut_capacity - 8:
+            self.mut_capacity = _round_cap(2 * self.mut_capacity)
+        n_ivs = sum(len(iv) for iv in tree.miss_intervals)
+        while n_ivs > self.miss_capacity - 8:
+            self.miss_capacity = _round_cap(2 * self.miss_capacity)
+        n_fs = sum(len(fs) for fs in tree.miss_from_states)
+        while n_fs > self.fs_capacity - 8:
+            self.fs_capacity = _round_cap(2 * self.fs_capacity)
+        self.ts = pack_state(tree, self.mut_capacity, self.miss_capacity,
+                             self.fs_capacity)
+        tin, tout = tree.euler_positions()
+        self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
 
     # -- observability --------------------------------------------------------
 

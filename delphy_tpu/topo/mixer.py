@@ -98,6 +98,9 @@ class TopologyMixer:
         self.num_cells = num_cells
         self.n_accepted = 0
         self.n_proposed = 0
+        # accumulated ledger deltas of accepted moves (host->device handoff)
+        self.delta_log_G = 0.0
+        self.delta_log_coal = 0.0
 
     def run_burst(self, n_moves: int, mu, nu, q, pi, pop_params, t_max_tip: float):
         tree = self.tree
@@ -139,10 +142,12 @@ class TopologyMixer:
         log_mh = ((new_graft.delta_log_G - new_graft.log_alpha_mut)
                   - (old_graft.delta_log_G - old_graft.log_alpha_mut)
                   + math.log(alpha_ratio) + delta_coal)
-        if log_mh >= 0.0 or self.rng.random() < math.exp(log_mh):
+        if log_mh >= 0.0 or self.rng.random() < math.exp(min(log_mh, 0.0)):
             ctx.apply_graft(new_graft)
             grid.commit(dk)
             self.n_accepted += 1
+            self.delta_log_G += new_graft.delta_log_G - old_graft.delta_log_G
+            self.delta_log_coal += delta_coal
         else:
             ctx.move(X, old_S, old_t_P)
             ctx.apply_graft(old_graft)
@@ -308,6 +313,8 @@ class TopologyMixer:
             ctx.apply_graft(new_graft)
             grid.commit(dk)
             self.n_accepted += 1
+            self.delta_log_G += new_graft.delta_log_G - old_graft.delta_log_G
+            self.delta_log_coal += delta_coal
         else:
             ctx.move(X, old_S, old_t_P)
             ctx.apply_graft(old_graft)

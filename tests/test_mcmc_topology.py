@@ -1,0 +1,58 @@
+"""End-to-end MCMC with topology moves enabled (the full move mix)."""
+
+import numpy as np
+
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_random_tree
+from delphy_tpu.run import Run
+from delphy_tpu.mcmc.global_moves import PriorConfig
+
+
+def make_run(seed=21, T=12, L=150, lmpgm=400):
+    ref, deltas, miss, dates, names, truth = simulate_dataset(
+        T, L, mu=3e-3, missing_fraction=0.1, seed=seed)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(seed))
+    return Run(tree, seed=seed, hyp=PriorConfig(), num_cells=128,
+               local_moves_per_global_move=lmpgm,
+               topology_moves_enabled=True), truth
+
+
+def test_full_mix_ledger_and_integrity():
+    run, _ = make_run()
+    parents0 = np.asarray(run.ts.parent).copy()
+    for _ in range(5):
+        run.do_mcmc_steps(400)
+        run.check_derived_quantities(tol=1e-6)
+    assert run.topology_proposed > 0
+    assert run.topology_accepted > 0
+    tree = run.tree()
+    tree.check_integrity()
+    assert not np.array_equal(np.asarray(run.ts.parent), parents0), \
+        "topology never changed"
+
+
+def test_full_mix_tip_data_preserved():
+    run, _ = make_run(seed=23)
+    before = run.tree()
+    seqs = [before.sequence_at(i) for i in range(before.num_tips)]
+    missing = [before.missing_sites_at(i) for i in range(before.num_tips)]
+    run.do_mcmc_steps(2000)
+    after = run.tree()
+    after.check_integrity()
+    for i in range(after.num_tips):
+        assert after.missing_sites_at(i) == missing[i]
+        got = after.sequence_at(i)
+        for l in range(after.num_sites):
+            if l not in missing[i]:
+                assert got[l] == seqs[i][l]
+
+
+def test_full_mix_determinism():
+    run_a, _ = make_run(seed=29)
+    run_b, _ = make_run(seed=29)
+    run_a.do_mcmc_steps(800)
+    run_b.do_mcmc_steps(800)
+    assert run_a.log_posterior == run_b.log_posterior
+    np.testing.assert_array_equal(np.asarray(run_a.ts.parent),
+                                  np.asarray(run_b.ts.parent))
