@@ -61,8 +61,11 @@ def simulate_dataset(num_tips: int, num_sites: int, mu: float,
             events.append((node, a, b))
     root = lineages[0]
 
-    # evolve sequences: root draws from pi, each branch accumulates mutations
-    seqs = {root: rng.choice(4, size=num_sites, p=pi).astype(np.int8)}
+    # evolve sequences: the root sequence IS the reference (matching the
+    # realistic regime where the reference is close to the data, as with
+    # MAPLE/consensus references; an independent random root would make ~75%
+    # of sites differ from ref at every tip)
+    seqs = {root: ref.copy()}
     children = {n: (a, b) for (n, a, b) in events}
 
     def evolve(seq, dt):

@@ -84,9 +84,16 @@ def test_alpha_moves_enabled():
 
 
 def test_posterior_moves_toward_data():
-    """Sanity: the chain finds substantially better states than the random
-    initial tree."""
-    run, _ = make_run(seed=13, T=16, L=300)
+    """Sanity: with a realistic mutation rate (no multi-hit saturation), the
+    chain finds substantially better states than the random initial tree.
+    (At saturating rates the log-posterior legitimately drops while the chain
+    moves into the typical set of the augmented posterior.)"""
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        16, 300, mu=2e-4, seed=13)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(13))
+    run = Run(tree, seed=13, hyp=PriorConfig(), num_cells=128,
+              local_moves_per_global_move=400)
     run.do_mcmc_steps(10)
     lp0 = run.log_posterior
     run.do_mcmc_steps(8000)
