@@ -40,11 +40,19 @@ class PriorConfig:
     pop_g_prior_scale: float = 30.701135 / 365.0
     pop_g_min: float = -math.inf
     pop_g_max: float = math.inf
+    skygrid_tau_prior_alpha: float = 0.001
+    skygrid_tau_prior_beta: float = 0.001
+    skygrid_low_gamma_barrier_enabled: bool = True
+    skygrid_low_gamma_barrier_loc: float = 0.0          # log(1.0) (run.cpp:31)
+    skygrid_low_gamma_barrier_scale: float = 0.35667494393873245  # -log(0.70)
+    skygrid_inv_nbar_prior_alpha: float = 0.0
+    skygrid_inv_nbar_prior_beta: float = 0.0
     mu_move_enabled: bool = True
     hky_moves_enabled: bool = True
     alpha_move_enabled: bool = False      # site-rate heterogeneity off by default
     pop_size_move_enabled: bool = True
     pop_growth_rate_move_enabled: bool = True
+    skygrid_tau_move_enabled: bool = True
     mu_fixed: bool = False
 
 
@@ -78,6 +86,29 @@ def calc_log_other_priors(evo: EvoParams, pop_params, hyp: PriorConfig):
                - hyp.pop_inv_n0_prior_beta / pop_params.n0)
         lp += (-jnp.abs(pop_params.g - hyp.pop_g_prior_mu) / hyp.pop_g_prior_scale
                - jnp.log(2.0 * hyp.pop_g_prior_scale))
+    elif isinstance(pop_params, popm.SkygridPopParams):
+        tau = pop_params.tau
+        if hyp.skygrid_tau_move_enabled:
+            # tau ~ Gamma prior (Gill et al 2012 Eq. 15; run.cpp:536-541)
+            lp += ((hyp.skygrid_tau_prior_alpha - 1.0) * jnp.log(tau)
+                   - hyp.skygrid_tau_prior_beta * tau)
+        lp += calc_skygrid_gmrf_prior(pop_params, hyp)
+    return lp
+
+
+def calc_skygrid_gmrf_prior(p, hyp: PriorConfig):
+    """GMRF prior + N_bar InvGamma + low-population barrier
+    (run.cpp:564-608)."""
+    gamma, tau = p.gamma, p.tau
+    M = gamma.shape[0] - 1
+    gamma_bar = jnp.mean(gamma)
+    lp = (-hyp.skygrid_inv_nbar_prior_alpha * gamma_bar
+          - hyp.skygrid_inv_nbar_prior_beta * jnp.exp(-gamma_bar))
+    dg = gamma[1:] - gamma[:-1]
+    lp += jnp.sum(0.5 * (jnp.log(tau) - jnp.log(2.0 * jnp.pi)) - 0.5 * dg ** 2 * tau)
+    if hyp.skygrid_low_gamma_barrier_enabled:
+        excess = jnp.maximum(hyp.skygrid_low_gamma_barrier_loc - gamma, 0.0)
+        lp -= jnp.sum((excess / hyp.skygrid_low_gamma_barrier_scale) ** 2)
     return lp
 
 
@@ -179,6 +210,118 @@ def alpha_and_nu_moves(key, evo: EvoParams, Ttwiddle_l, M_l, hyp: PriorConfig):
     nu = jax.random.gamma(k_nu, shape, dtype=jnp.float64) / rate
     nu = jnp.maximum(nu, 1e-50)
     return evo._replace(alpha=alpha, nu=nu)
+
+
+def skygrid_tau_move(key, p: popm.SkygridPopParams, hyp: PriorConfig):
+    """Gibbs: tau ~ Gamma(a + M/2, b + sum(dgamma^2)/2) (run.cpp:1321-1358)."""
+    M = p.gamma.shape[0] - 1
+    ssq = jnp.sum((p.gamma[1:] - p.gamma[:-1]) ** 2)
+    shape = hyp.skygrid_tau_prior_alpha + 0.5 * M
+    rate = hyp.skygrid_tau_prior_beta + 0.5 * ssq
+    new_tau = jax.random.gamma(key, shape, dtype=jnp.float64) / rate
+    return p._replace(tau=new_tau)
+
+
+def skygrid_zero_mode_gibbs_move(key, p: popm.SkygridPopParams,
+                                 grid: coal.CoalGrid, n_inner: int,
+                                 hyp: PriorConfig):
+    """Gibbs sample the overall population scale via I_bar = exp(-gamma_bar):
+    I_bar ~ Gamma(N_inner + alpha, B + beta), with an MH correction for the
+    low-gamma barrier (run.cpp:2016-2175)."""
+    k_g, k_acc = jax.random.split(key)
+    gamma_bar = jnp.mean(p.gamma)
+    I_bar = jnp.exp(-gamma_bar)
+    B = jnp.sum(0.5 * grid.t_step * grid.k_bar * (grid.k_bar - 1.0)
+                / grid.popsize_bar) / I_bar
+    shape = n_inner + hyp.skygrid_inv_nbar_prior_alpha
+    rate = B + hyp.skygrid_inv_nbar_prior_beta
+    new_I_bar = jax.random.gamma(k_g, shape, dtype=jnp.float64) / rate
+    delta_gamma_bar = jnp.log(I_bar / new_I_bar)
+    new_gamma = p.gamma + delta_gamma_bar
+
+    log_mh = jnp.float64(0.0)
+    if hyp.skygrid_low_gamma_barrier_enabled:
+        loc, scl = hyp.skygrid_low_gamma_barrier_loc, hyp.skygrid_low_gamma_barrier_scale
+        old_b = -jnp.sum((jnp.maximum(loc - p.gamma, 0.0) / scl) ** 2)
+        new_b = -jnp.sum((jnp.maximum(loc - new_gamma, 0.0) / scl) ** 2)
+        log_mh = new_b - old_b
+    blew_up = jnp.any(jnp.isnan(new_gamma)) | jnp.isnan(log_mh)
+    u = jax.random.uniform(k_acc, (), jnp.float64, 1e-300, 1.0)
+    accept = (~blew_up) & ((log_mh >= 0) | (jnp.log(u) < log_mh))
+    return p._replace(gamma=jnp.where(accept, new_gamma, p.gamma))
+
+
+def skygrid_hmc_move(key, p: popm.SkygridPopParams, grid: coal.CoalGrid,
+                     t, is_tip, hyp: PriorConfig):
+    """Mass-preconditioned randomized HMC over the gamma_k
+    (run.cpp:1360-2014).  Masses m_k = tau*[k>0] + tau*[k<M] + c_k equalize
+    the normal-mode frequencies; position Verlet with dt ~ Expo(100/2pi) x 25
+    steps; trajectories whose kinetic energy exceeds 100*(M+1) are rejected
+    outright on both ends (detailed balance preserved).  Forces come from
+    jax.grad of the potential instead of the reference's hand-derived
+    d_log_int_N_d_gamma."""
+    M = p.gamma.shape[0] - 1
+    tau = p.tau
+    lbs = grid.cell_lbounds()
+    C = grid.num_cells
+    inner_t = t  # masked with is_tip below
+
+    # coalescence counts per skygrid interval (clamped to [0, M]; run.cpp:1694-1703)
+    kk = jnp.clip(jnp.searchsorted(p.x, t, side="left"), 0, M)
+    c_k = jnp.zeros(M + 1, jnp.float64).at[kk].add(jnp.where(is_tip, 0.0, 1.0))
+
+    m_k = jnp.where(jnp.arange(M + 1) > 0, tau, 0.0) \
+        + jnp.where(jnp.arange(M + 1) < M, tau, 0.0) + c_k
+    m_k = jnp.maximum(m_k, 1e-12)
+    inv_m_k = 1.0 / m_k
+
+    def U_fn(gamma):
+        q = p._replace(gamma=gamma)
+        nbar = jax.vmap(lambda a: popm.skygrid_pop_integral(q, a, a + grid.t_step))(lbs) / grid.t_step
+        nbar = jnp.maximum(nbar, 1e-100)
+        U_coal = jnp.sum(grid.t_step * grid.k_bar * (grid.k_bar - 1.0) / (2.0 * nbar))
+        logN = popm.skygrid_log_N(q, inner_t)
+        U_coal += jnp.sum(jnp.where(is_tip, 0.0, logN))
+        dg = gamma[1:] - gamma[:-1]
+        U_prior = 0.5 * tau * jnp.sum(dg ** 2)
+        if hyp.skygrid_low_gamma_barrier_enabled:
+            excess = jnp.maximum(hyp.skygrid_low_gamma_barrier_loc - gamma, 0.0)
+            U_prior += jnp.sum((excess / hyp.skygrid_low_gamma_barrier_scale) ** 2)
+        gamma_bar = jnp.mean(gamma)
+        U_prior += (hyp.skygrid_inv_nbar_prior_alpha * gamma_bar
+                    + hyp.skygrid_inv_nbar_prior_beta * jnp.exp(-gamma_bar))
+        return U_coal + U_prior
+
+    grad_U = jax.grad(U_fn)
+
+    key, k_p, k_dt, k_acc = jax.random.split(key, 4)
+    p0 = jax.random.normal(k_p, (M + 1,), jnp.float64) * jnp.sqrt(m_k)
+    dt = jax.random.exponential(k_dt, dtype=jnp.float64) * (2.0 * jnp.pi / 100.0)
+
+    def calc_K(mom):
+        return jnp.sum(0.5 * mom ** 2 * inv_m_k)
+
+    K_cap = 100.0 * (M + 1)
+
+    def body(i, carry):
+        gamma, mom, blown = carry
+        gamma = gamma + 0.5 * dt * mom * inv_m_k
+        f = -grad_U(gamma)
+        mom = mom + dt * f
+        blown = blown | (calc_K(mom) > K_cap)
+        gamma = gamma + 0.5 * dt * mom * inv_m_k
+        return (gamma, mom, blown)
+
+    blown0 = calc_K(p0) > K_cap
+    gamma_f, p_f, blown = jax.lax.fori_loop(0, 25, body, (p.gamma, p0, blown0))
+
+    old_H = calc_K(p0) + U_fn(p.gamma)
+    new_H = calc_K(p_f) + U_fn(gamma_f)
+    log_mh = old_H - new_H
+    blown = blown | jnp.any(jnp.isnan(gamma_f)) | jnp.isnan(log_mh)
+    u = jax.random.uniform(k_acc, (), jnp.float64, 1e-300, 1.0)
+    accept = (~blown) & ((log_mh > 0) | (jnp.log(u) < log_mh))
+    return p._replace(gamma=jnp.where(accept, gamma_f, p.gamma))
 
 
 def exp_pop_moves(key, pop_params: popm.ExpPopParams, grid: coal.CoalGrid,

@@ -65,10 +65,26 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
     is_tip = ts.is_tip
     grid = coal.make_grid(pop_params, ts.t, is_tip, t_lo, t_step, num_cells)
 
-    # 4. Pseudo-Gibbs sampling of population parameters (run.cpp:749-764)
+    # 4. Pseudo-Gibbs sampling of population parameters (run.cpp:749-778)
     if isinstance(pop_params, popm.ExpPopParams) and (
             hyp.pop_size_move_enabled or hyp.pop_growth_rate_move_enabled):
         pop_params = gm.exp_pop_moves(k_pop, pop_params, grid, ts.t, is_tip, hyp)
+        grid = grid._replace(
+            popsize_bar=coal.calc_popsize_bars(pop_params, grid.t_lo, grid.t_step,
+                                               num_cells))
+    elif isinstance(pop_params, popm.SkygridPopParams):
+        k_tau, k_zero, k_hmc = jax.random.split(k_pop, 3)
+        if hyp.skygrid_tau_move_enabled:
+            pop_params = gm.skygrid_tau_move(k_tau, pop_params, hyp)
+        n_inner = ts.num_nodes - ts.num_tips
+        pop_params = gm.skygrid_zero_mode_gibbs_move(k_zero, pop_params, grid,
+                                                     n_inner, hyp)
+        # zero-mode shifts all gammas; refresh popsize_bars before the HMC's
+        # B-term baseline and the sweep
+        grid = grid._replace(
+            popsize_bar=coal.calc_popsize_bars(pop_params, grid.t_lo, grid.t_step,
+                                               num_cells))
+        pop_params = gm.skygrid_hmc_move(k_hmc, pop_params, grid, ts.t, is_tip, hyp)
         grid = grid._replace(
             popsize_bar=coal.calc_popsize_bars(pop_params, grid.t_lo, grid.t_step,
                                                num_cells))

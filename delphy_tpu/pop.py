@@ -88,10 +88,29 @@ def exp_intensity_integral(p: ExpPopParams, a, b):
     return jnp.where((p.g == 0.0) & (p.min_pop > 0.0), const_val, base)
 
 
-class SkygridPopParams(NamedTuple):
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SkygridPopParams:
     x: jnp.ndarray       # knot times, shape [M+1], strictly increasing
     gamma: jnp.ndarray   # log N at knots, shape [M+1]
-    type: int            # STAIRCASE or LOG_LINEAR (static)
+    type: int            # STAIRCASE or LOG_LINEAR (static aux data)
+    tau: jnp.ndarray = 1.0  # GMRF precision (sampled parameter)
+
+    def tree_flatten(self):
+        return (self.x, self.gamma, self.tau), self.type
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        x, gamma, tau = children
+        return cls(x=x, gamma=gamma, type=aux, tau=tau)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def skygrid_log_N(p: SkygridPopParams, t):

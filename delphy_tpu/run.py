@@ -28,20 +28,13 @@ def _round_cap(n: int) -> int:
     return (max(n, 64) + 127) // 128 * 128
 
 
-class ExpPopHost:
-    """Float view of ExpPopParams for the host topology mixer."""
-
-    def __init__(self, p: popm.ExpPopParams):
-        self.t0 = float(p.t0)
-        self.n0 = float(p.n0)
-        self.g = float(p.g)
-        self.min_pop = float(p.min_pop)
-
-
 class Run:
     def __init__(self, tree: FlatTree, seed: int = 0, hyp: PriorConfig = PriorConfig(),
                  num_cells: int = 512, local_moves_per_global_move: int = -1,
-                 topology_moves_enabled: bool = True):
+                 topology_moves_enabled: bool = True,
+                 pop_model: str = "exp", skygrid_num_parameters: int = 50,
+                 skygrid_cutoff_days: float | None = None,
+                 skygrid_type: int = popm.STAIRCASE):
         tree.check_integrity()
         self.names = list(tree.name)
         # generous pool headroom so topology moves rarely force a reshape
@@ -74,11 +67,25 @@ class Run:
 
         t_max_tip = float(np.max(tree.t_max[:tree.num_tips]))
         self.t_max_tip = t_max_tip
-        # default pop model: Exp(t0 = max tip time, n0=1000, g=0, min_pop=1)
-        # (run.cpp:21)
-        self.pop = popm.ExpPopParams(
-            t0=jnp.float64(t_max_tip), n0=jnp.float64(1000.0),
-            g=jnp.float64(0.0), min_pop=jnp.float64(1.0))
+        if pop_model == "exp":
+            # default: Exp(t0 = max tip time, n0=1000, g=0, min_pop=1) (run.cpp:21)
+            self.pop = popm.ExpPopParams(
+                t0=jnp.float64(t_max_tip), n0=jnp.float64(1000.0),
+                g=jnp.float64(0.0), min_pop=jnp.float64(1.0))
+        elif pop_model == "skygrid":
+            # default knots x_k = T - (M-k)/M * K (pop_model.h:144-147);
+            # default cutoff: 1.2x the initial tree span
+            M = max(1, skygrid_num_parameters - 1)
+            t_root0 = float(tree.t[tree.root])
+            K = (skygrid_cutoff_days if skygrid_cutoff_days
+                 else 1.2 * max(t_max_tip - t_root0, 1.0))
+            x = t_max_tip - (M - np.arange(M + 1, dtype=np.float64)) / M * K
+            self.pop = popm.SkygridPopParams(
+                x=jnp.asarray(x),
+                gamma=jnp.full((M + 1,), np.log(1000.0), jnp.float64),
+                type=skygrid_type, tau=jnp.float64(1.0))
+        else:
+            raise ValueError(f"unknown pop_model {pop_model!r}")
 
         tin, tout = tree.euler_positions()
         self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
@@ -128,12 +135,19 @@ class Run:
 
     def _topology_burst(self, n_moves: int):
         from .topo import TopologyMixer
+        from .topo.mixer import HostExpPop, HostSkygridPop
         tree = unpack_state(self.ts, names=self.names)
         mixer = TopologyMixer(tree, self.host_rng,
                               num_cells=min(self.num_cells, 400))
+        if isinstance(self.pop, popm.SkygridPopParams):
+            host_pop = HostSkygridPop(np.asarray(self.pop.x),
+                                      np.asarray(self.pop.gamma), self.pop.type)
+        else:
+            host_pop = HostExpPop(self.pop.t0, self.pop.n0, self.pop.g,
+                                  self.pop.min_pop)
         mixer.run_burst(n_moves, float(self.evo.mu), np.asarray(self.evo.nu),
                         np.asarray(self.evo.q), np.asarray(self.evo.pi),
-                        ExpPopHost(self.pop), self.t_max_tip)
+                        host_pop, self.t_max_tip)
         self.topology_accepted += mixer.n_accepted
         self.topology_proposed += mixer.n_proposed
         if self.ledger is not None:
@@ -193,10 +207,17 @@ class Run:
     def stats_line(self) -> str:
         led = self.ledger
         pi = np.asarray(self.evo.pi)
+        if isinstance(self.pop, popm.SkygridPopParams):
+            g = np.asarray(self.pop.gamma)
+            pop_str = (f"Nbar {float(np.exp(g.mean())):.2f}  "
+                       f"tau {float(self.pop.tau):.3f}")
+        else:
+            pop_str = (f"n0 {float(self.pop.n0):.2f}  "
+                       f"g {float(self.pop.g)*365.0:.3f}/yr")
         return (f"step {self.step}  log_post {float(led.log_posterior):.4f}  "
                 f"log_G {float(led.log_G):.4f}  log_coal {float(led.log_coal):.4f}  "
                 f"muts {int(self.last_stats['num_muts'])}  "
                 f"mu {float(self.evo.mu)*365.0:.3e}/yr  kappa {float(self.evo.kappa):.3f}  "
                 f"pi [{pi[0]:.2f} {pi[1]:.2f} {pi[2]:.2f} {pi[3]:.2f}]  "
-                f"n0 {float(self.pop.n0):.2f}  g {float(self.pop.g)*365.0:.3f}/yr  "
+                f"{pop_str}  "
                 f"t_root {float(self.ts.t[self.ts.root]):.2f}")

@@ -14,33 +14,17 @@ from .graft import SprContext, _sibling, _miss_sites
 from .study import SprStudyBuilder, SprStudy
 
 
-class HostCoalGrid:
-    """Host mirror of ops/coalescent.py (exp-pop only for now)."""
+class HostExpPop:
+    """Host exp-pop model with min_pop floor (core/pop_model.cpp:22-145)."""
 
-    def __init__(self, tree: FlatTree, pop_t0, pop_n0, pop_g, pop_min,
-                 num_cells: int, t_max_tip: float):
+    def __init__(self, t0, n0, g, min_pop):
         self.t0, self.n0, self.g, self.min_pop = (
-            float(pop_t0), float(pop_n0), float(pop_g), float(pop_min))
-        t_root = float(tree.t[tree.root])
-        span = max(t_max_tip - t_root, 1.0)
-        self.t_lo = t_root - 0.35 * span - 1.0
-        self.t_step = (t_max_tip - self.t_lo) / num_cells
-        self.C = num_cells
-        self.lbs = self.t_lo + self.t_step * np.arange(num_cells)
-        is_tip = tree.children[:, 0] == NO_NODE
-        sign = np.where(is_tip, 1.0, -1.0)
-        rel = (tree.t - self.t_lo) / self.t_step
-        self.k_bar = np.zeros(num_cells)
-        for s, r in zip(sign, rel):
-            self.k_bar += s * np.clip(r - np.arange(num_cells), 0.0, 1.0)
-        self.popsize_bar = np.maximum(
-            np.array([self._pop_integral(lb, lb + self.t_step) for lb in self.lbs])
-            / self.t_step, 1e-100)
+            float(t0), float(n0), float(g), float(min_pop))
 
-    def _pop_at(self, t):
+    def pop_at(self, t):
         return max(self.min_pop, self.n0 * math.exp((t - self.t0) * self.g))
 
-    def _pop_integral(self, a, b):
+    def pop_integral(self, a, b):
         g, n0, mp = self.g, self.n0, self.min_pop
         if mp == 0.0:
             if g == 0.0:
@@ -56,6 +40,85 @@ class HostCoalGrid:
         lo_c = min(max(t_c, a), b)
         unc = n0 / g * math.exp(g * (a - self.t0)) * math.expm1(g * (lo_c - a))
         return unc + (b - lo_c) * mp
+
+
+class HostSkygridPop:
+    """Host skygrid model (staircase / log-linear; core/pop_model.cpp:147-560)."""
+
+    def __init__(self, x, gamma, type_):
+        self.x = np.asarray(x, dtype=np.float64)
+        self.gamma = np.asarray(gamma, dtype=np.float64)
+        self.type = int(type_)
+
+    def log_N(self, t):
+        x, g = self.x, self.gamma
+        M = len(x) - 1
+        k = int(np.searchsorted(x, t, side="left"))
+        if k == 0:
+            return g[0]
+        if k > M:
+            return g[M]
+        if self.type == 1:  # staircase
+            return g[k]
+        c = (t - x[k - 1]) / (x[k] - x[k - 1])
+        return (1 - c) * g[k - 1] + c * g[k]
+
+    def pop_at(self, t):
+        return math.exp(self.log_N(t))
+
+    def pop_integral(self, a, b):
+        # piecewise integration over intervals intersecting [a, b]
+        x, g = self.x, self.gamma
+        M = len(x) - 1
+        edges = np.concatenate([[-np.inf], x, [np.inf]])
+        total = 0.0
+        for k in range(M + 2):
+            lo = max(a, edges[k])
+            hi = min(b, edges[k + 1])
+            if hi <= lo:
+                continue
+            if k == 0:
+                total += math.exp(g[0]) * (hi - lo)
+            elif k == M + 1:
+                total += math.exp(g[M]) * (hi - lo)
+            elif self.type == 1:
+                total += math.exp(g[k]) * (hi - lo)
+            else:
+                c_lo = (lo - x[k - 1]) / (x[k] - x[k - 1])
+                c_hi = (hi - x[k - 1]) / (x[k] - x[k - 1])
+                G_lo = (1 - c_lo) * g[k - 1] + c_lo * g[k]
+                G_hi = (1 - c_hi) * g[k - 1] + c_hi * g[k]
+                D = G_hi - G_lo
+                if D == 0.0:
+                    total += math.exp(G_lo) * (hi - lo)
+                else:
+                    total += math.exp(G_lo) * (hi - lo) * math.expm1(D) / D
+        return total
+
+
+class HostCoalGrid:
+    """Host mirror of ops/coalescent.py over any host pop model."""
+
+    def __init__(self, tree: FlatTree, pop, num_cells: int, t_max_tip: float):
+        self.pop = pop
+        t_root = float(tree.t[tree.root])
+        span = max(t_max_tip - t_root, 1.0)
+        self.t_lo = t_root - 0.35 * span - 1.0
+        self.t_step = (t_max_tip - self.t_lo) / num_cells
+        self.C = num_cells
+        self.lbs = self.t_lo + self.t_step * np.arange(num_cells)
+        is_tip = tree.children[:, 0] == NO_NODE
+        sign = np.where(is_tip, 1.0, -1.0)
+        rel = (tree.t - self.t_lo) / self.t_step
+        self.k_bar = np.zeros(num_cells)
+        for s, r in zip(sign, rel):
+            self.k_bar += s * np.clip(r - np.arange(num_cells), 0.0, 1.0)
+        self.popsize_bar = np.maximum(
+            np.array([self.pop.pop_integral(lb, lb + self.t_step) for lb in self.lbs])
+            / self.t_step, 1e-100)
+
+    def _pop_at(self, t):
+        return self.pop.pop_at(t)
 
     def displace_delta(self, old_t, new_t, is_tip: bool) -> float:
         sign = 1.0 if is_tip else -1.0
@@ -105,8 +168,12 @@ class TopologyMixer:
     def run_burst(self, n_moves: int, mu, nu, q, pi, pop_params, t_max_tip: float):
         tree = self.tree
         ctx = SprContext(tree, mu, nu, q, pi, can_change_root=True)
-        grid = HostCoalGrid(tree, pop_params.t0, pop_params.n0, pop_params.g,
-                            pop_params.min_pop, self.num_cells, t_max_tip)
+        if hasattr(pop_params, "pop_integral"):
+            host_pop = pop_params
+        else:
+            host_pop = HostExpPop(pop_params.t0, pop_params.n0, pop_params.g,
+                                  pop_params.min_pop)
+        grid = HostCoalGrid(tree, host_pop, self.num_cells, t_max_tip)
         self.t_max_tip = t_max_tip
         for _ in range(n_moves):
             self.n_proposed += 1
