@@ -56,6 +56,29 @@ class Graft:
     log_alpha_mut: float = 0.0
 
 
+class ComplementSites:
+    """Lazy 'all L sites except `excluded`' — avoids materializing L-element
+    sets on the hot P->X graft level (only membership and size are needed)."""
+
+    __slots__ = ("L", "excluded")
+
+    def __init__(self, L: int, excluded=frozenset()):
+        self.L = L
+        self.excluded = excluded
+
+    def __contains__(self, site) -> bool:
+        return 0 <= site < self.L and site not in self.excluded
+
+    def __len__(self) -> int:
+        return self.L - len(self.excluded)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __sub__(self, other):
+        return ComplementSites(self.L, frozenset(self.excluded | set(other)))
+
+
 def _miss_sites(tree: FlatTree, node: int) -> set:
     out = set()
     for (s, e) in tree.miss_intervals[node]:
@@ -236,8 +259,7 @@ class SprContext:
 
         spx = BranchInfo(A=S, B=P, is_open=False,
                          T_to_X=(t_S - t_P) + (t_X - t_P))
-        all_sites = set(range(t.num_sites))
-        spx.warm_sites = all_sites - miss_P - miss_X - miss_S
+        spx.warm_sites = ComplementSites(t.num_sites) - miss_P - miss_X - miss_S
         spx.hot_sites = spx.warm_sites
         spx.partial_lambda_at_X = self.lambda_at(X) - px.partial_lambda_at_X
         spx.partial_lambda_at_A = self.lambda_at(S) - ps.partial_lambda_at_X
@@ -266,7 +288,7 @@ class SprContext:
         g = Graft(X=X, S=S, t_P=t_P, rooty=False)
 
         px = BranchInfo(A=P, B=X, is_open=False, T_to_X=t_X - t_P)
-        px.warm_sites = set(range(t.num_sites))
+        px.warm_sites = ComplementSites(t.num_sites)
         miss_S = _miss_sites(t, S)
         px.hot_sites = px.warm_sites - miss_S
 
