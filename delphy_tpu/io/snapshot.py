@@ -1,0 +1,116 @@
+"""Run snapshots: save/resume of the complete MCMC state.
+
+Functional counterpart of the reference's .dphy stream (core/delphy_output.
+{h,cpp}, doc/dphy_file_format.md): the full EMAT (ref seq, node arrays,
+mutation pool, missation tables), every model parameter and prior
+hyperparameter, and the RNG key — enough to reconstruct a Run exactly
+(cf. api_tree_and_tree_info_to_phylo_tree + apply_api_params_to_run,
+core/api.h:18-23).  Serialization is an .npz container plus a JSON metadata
+blob rather than flatbuffers."""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+MAGIC = "delphy-tpu-snapshot"
+VERSION = 1
+
+
+def save_run(run, path):
+    from .. import pop as popm
+    arrays = {f"ts_{k}": np.asarray(v) for k, v in run.ts._asdict().items()}
+    arrays["key"] = np.asarray(run.key)
+    for k in ("mu", "kappa", "pi", "q", "alpha", "nu"):
+        arrays[f"evo_{k}"] = np.asarray(getattr(run.evo, k))
+    if isinstance(run.pop, popm.SkygridPopParams):
+        pop_meta = {"model": "skygrid", "type": int(run.pop.type)}
+        arrays["pop_x"] = np.asarray(run.pop.x)
+        arrays["pop_gamma"] = np.asarray(run.pop.gamma)
+        arrays["pop_tau"] = np.asarray(run.pop.tau)
+    else:
+        pop_meta = {"model": "exp"}
+        for k in ("t0", "n0", "g", "min_pop"):
+            arrays[f"pop_{k}"] = np.asarray(getattr(run.pop, k))
+
+    meta = {
+        "magic": MAGIC,
+        "version": VERSION,
+        "step": run.step,
+        "names": run.names,
+        "pop": pop_meta,
+        "hyp": dataclasses.asdict(run.hyp),
+        "num_cells": run.num_cells,
+        "local_moves_per_global_move": run.local_moves_per_global_move,
+        "topology_moves_enabled": run.topology_moves_enabled,
+        "t_max_tip": run.t_max_tip,
+        "host_rng_state": _rng_state_to_json(run.host_rng),
+    }
+    arrays["_meta_json"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+
+
+def load_run(path):
+    from ..run import Run
+    from ..state import TreeState, unpack_state
+    from ..evo import EvoParams
+    from ..mcmc.global_moves import PriorConfig
+    from .. import pop as popm
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["_meta_json"]).decode("utf-8"))
+        assert meta["magic"] == MAGIC, "not a delphy-tpu snapshot"
+        assert meta["version"] <= VERSION
+        data = {k: z[k] for k in z.files if k != "_meta_json"}
+
+    ts = TreeState(**{k[3:]: jnp.asarray(v) for k, v in data.items()
+                      if k.startswith("ts_")})
+    tree = unpack_state(ts, names=meta["names"])
+    hyp = PriorConfig(**meta["hyp"])
+    run = Run(tree, seed=0, hyp=hyp, num_cells=meta["num_cells"],
+              local_moves_per_global_move=meta["local_moves_per_global_move"],
+              topology_moves_enabled=meta["topology_moves_enabled"],
+              pop_model=meta["pop"]["model"],
+              **({"skygrid_num_parameters": len(data["pop_gamma"]),
+                  "skygrid_type": meta["pop"]["type"]}
+                 if meta["pop"]["model"] == "skygrid" else {}))
+    run.evo = EvoParams(
+        mu=jnp.asarray(data["evo_mu"]), kappa=jnp.asarray(data["evo_kappa"]),
+        pi=jnp.asarray(data["evo_pi"]), q=jnp.asarray(data["evo_q"]),
+        alpha=jnp.asarray(data["evo_alpha"]), nu=jnp.asarray(data["evo_nu"]))
+    if meta["pop"]["model"] == "skygrid":
+        run.pop = popm.SkygridPopParams(
+            x=jnp.asarray(data["pop_x"]), gamma=jnp.asarray(data["pop_gamma"]),
+            type=meta["pop"]["type"], tau=jnp.asarray(data["pop_tau"]))
+    else:
+        run.pop = popm.ExpPopParams(
+            t0=jnp.asarray(data["pop_t0"]), n0=jnp.asarray(data["pop_n0"]),
+            g=jnp.asarray(data["pop_g"]), min_pop=jnp.asarray(data["pop_min_pop"]))
+    run.key = jnp.asarray(data["key"])
+    run.step = meta["step"]
+    _rng_state_from_json(run.host_rng, meta["host_rng_state"])
+    return run
+
+
+def _rng_state_to_json(rng: np.random.Generator):
+    st = rng.bit_generator.state
+    return json.loads(json.dumps(st, default=int))
+
+
+def _rng_state_from_json(rng: np.random.Generator, st):
+    cur = rng.bit_generator.state
+    if cur["bit_generator"] == st["bit_generator"]:
+        for k in ("state",):
+            pass
+        # numpy expects exact ints
+        def fix(d):
+            return {k: (fix(v) if isinstance(v, dict) else
+                        int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else v)
+                    for k, v in d.items()}
+        rng.bit_generator.state = fix(st)

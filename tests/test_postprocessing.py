@@ -1,0 +1,107 @@
+"""MCC tree, probers, snapshot save/resume."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from delphy_tpu import pop as popm
+from delphy_tpu.mcc import derive_mcc_tree, mcc_to_nexus
+from delphy_tpu.probers import probe_ancestors_on_tree, probe_site_states_on_tree
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_random_tree
+from delphy_tpu.run import Run
+from delphy_tpu.io.snapshot import save_run, load_run
+
+
+def make_run(seed=51, T=8, L=100):
+    ref, deltas, miss, dates, names, _ = simulate_dataset(T, L, mu=2e-4, seed=seed)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(seed))
+    return Run(tree, seed=seed, num_cells=64, local_moves_per_global_move=200)
+
+
+def test_mcc_tree(tmp_path):
+    run = make_run()
+    base_trees = []
+    for _ in range(6):
+        run.do_mcmc_steps(200)
+        base_trees.append(run.tree())
+    mcc = derive_mcc_tree(base_trees, seed=3)
+    N = base_trees[0].num_nodes
+    assert mcc.posterior_support.shape == (N,)
+    T = base_trees[0].num_tips
+    # every tip is trivially monophyletic in every base tree
+    np.testing.assert_allclose(mcc.posterior_support[:T], 1.0)
+    assert np.all(mcc.posterior_support > 0)
+    assert np.all(mcc.posterior_support <= 1.0)
+    # root clade (all tips) is in every tree
+    root = mcc.tree.root
+    np.testing.assert_allclose(mcc.posterior_support[root], 1.0)
+
+    out = tmp_path / "mcc.nexus"
+    with open(out, "w") as f:
+        mcc_to_nexus(mcc, f)
+    text = out.read_text()
+    assert text.startswith("#NEXUS")
+    assert "tree MCC =" in text
+    assert "posterior=" in text
+
+
+def test_probers():
+    run = make_run(seed=55)
+    run.do_mcmc_steps(200)
+    tree = run.tree()
+    pop = popm.ExpPopParams(t0=jnp.float64(run.t_max_tip), n0=jnp.float64(100.0),
+                            g=jnp.float64(0.0), min_pop=jnp.float64(1.0))
+    t_root = float(tree.t[tree.root])
+
+    # ancestral prober: mark the root's two children
+    c0, c1 = (int(tree.children[tree.root, 0]), int(tree.children[tree.root, 1]))
+    p = probe_ancestors_on_tree(tree, pop, [c0, c1], t_root - 10.0,
+                                run.t_max_tip, 30)
+    assert p.shape == (3, 30)
+    assert np.all(p >= 0) and np.all(p.sum(axis=0) <= 1.0 + 1e-9)
+    # far enough into the present, a probe almost surely coalesced into one side
+    assert p[:2, -1].sum() > 0.5
+
+    # site-state prober
+    ps = probe_site_states_on_tree(tree, pop, 0, t_root - 10.0, run.t_max_tip, 25)
+    assert ps.shape == (4, 25)
+    assert np.all(ps >= 0) and np.all(ps.sum(axis=0) <= 1.0 + 1e-9)
+
+
+def test_snapshot_roundtrip(tmp_path):
+    run = make_run(seed=59)
+    run.do_mcmc_steps(400)
+    lp = run.log_posterior
+    path = tmp_path / "state.dtpy.npz"
+    save_run(run, path)
+
+    run2 = load_run(path)
+    assert run2.step == run.step
+    np.testing.assert_array_equal(np.asarray(run2.ts.t), np.asarray(run.ts.t))
+    np.testing.assert_array_equal(np.asarray(run2.ts.mut_t), np.asarray(run.ts.mut_t))
+    led = run2.calc_cur_ledger()
+    led1 = run.calc_cur_ledger()
+    np.testing.assert_allclose(float(led.log_G), float(led1.log_G), rtol=1e-12)
+
+    # resumed run continues identically to the original
+    run.do_mcmc_steps(200)
+    run2.do_mcmc_steps(200)
+    assert run.log_posterior == run2.log_posterior
+
+
+def test_snapshot_skygrid(tmp_path):
+    ref, deltas, miss, dates, names, _ = simulate_dataset(8, 80, mu=2e-4, seed=61)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(61))
+    run = Run(tree, seed=61, num_cells=64, local_moves_per_global_move=200,
+              pop_model="skygrid", skygrid_num_parameters=6)
+    run.do_mcmc_steps(400)
+    path = tmp_path / "sg.npz"
+    save_run(run, path)
+    run2 = load_run(path)
+    np.testing.assert_array_equal(np.asarray(run2.pop.gamma), np.asarray(run.pop.gamma))
+    run.do_mcmc_steps(200)
+    run2.do_mcmc_steps(200)
+    assert run.log_posterior == run2.log_posterior
