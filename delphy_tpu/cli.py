@@ -51,7 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-pop-g-prior-mu", type=float, default=None)
     a("--v0-pop-g-prior-scale", type=float, default=None)
     a("--v0-target-coal-prior-cells", type=int, default=400)
-    a("--v0-init", choices=["random", "mp-plus-timing"], default="random")
+    a("--v0-init", choices=["random", "greedy", "mp-plus-timing"], default="greedy",
+      help="'greedy'/'mp-plus-timing': nearest-neighbour parsimony guide tree; 'random': random coalescent topology")
     return p
 
 
@@ -93,7 +94,9 @@ def main(argv=None) -> int:
     print(f"Read {len(tips)} tips, {len(ref_seq)} sites", file=sys.stderr)
 
     rng = np.random.default_rng(args.v0_seed)
-    tree = build_random_tree(
+    builder = (build_random_tree if args.v0_init == "random"
+               else __import__("delphy_tpu.phylo", fromlist=["build_greedy_tree"]).build_greedy_tree)
+    tree = builder(
         ref_seq,
         [t.deltas for t in tips],
         [t.miss_intervals for t in tips],

@@ -204,6 +204,128 @@ class FlatTree:
             assert not nested, f"nested missation at node {i}: {sorted(nested)[:5]}"
 
 
+def rereference_to_root_sequence(tree: FlatTree):
+    """Make ref_seq equal the root sequence, clearing root deltas and
+    re-keying missation from-states (reference rereference_to_root_sequence,
+    phylo_tree.cpp:299-312).  log_G is invariant under this change."""
+    root_muts = tree.mutations[tree.root]
+    if not root_muts:
+        return
+    changes = {}
+    for m in root_muts:
+        assert int(tree.ref_seq[m.site]) == m.from_
+        changes[m.site] = (m.from_, m.to)
+        tree.ref_seq[m.site] = m.to
+    for node in range(tree.num_nodes):
+        fs = tree.miss_from_states[node]
+        own = None
+        for site, (old_ref, new_ref) in changes.items():
+            covered = any(s <= site < e for (s, e) in tree.miss_intervals[node])
+            if not covered:
+                continue
+            explicit = fs.get(site, old_ref)
+            if explicit == new_ref:
+                fs.pop(site, None)
+            else:
+                fs[site] = explicit
+    tree.mutations[tree.root] = []
+
+
+def build_greedy_tree(ref_seq: np.ndarray, tip_deltas: list,
+                      tip_miss_intervals: list, tip_dates: list,
+                      names: list | None = None,
+                      rng: np.random.Generator | None = None) -> FlatTree:
+    """Greedy parsimony-flavoured starting tree: each tip attaches as the
+    sibling of the already-placed tip with the smallest sparse Hamming
+    distance (symmetric difference of delta sets).
+
+    A simplified stand-in for the reference's utree guide-tree pipeline
+    (build_guide_tree + nearest-first refinement + OLS rooting,
+    core/utree.h:235-317); MCMC topology moves polish the rest.  O(T^2) in
+    the number of tips over sparse deltas.
+    """
+    rng = rng or np.random.default_rng(0)
+    T = len(tip_deltas)
+    assert T >= 2
+    delta_sets = [frozenset(d) for d in tip_deltas]
+
+    N = 2 * T - 1
+    parent = np.full(N, NO_NODE, dtype=np.int32)
+    children = np.full((N, 2), NO_NODE, dtype=np.int32)
+    t = np.zeros(N)
+    t_min = np.full(N, -np.inf)
+    t_max = np.full(N, np.inf)
+    for i in range(T):
+        lo, hi = tip_dates[i]
+        t_min[i], t_max[i] = lo, hi
+        t[i] = rng.uniform(lo, hi) if hi > lo else lo
+
+    # greedy nearest-neighbour attachment in input order (stand-in for the
+    # reference guide tree's min-new-deltas insertion)
+    placed = [0, 1]
+    inner = T
+    parent[0] = parent[1] = inner
+    children[inner] = (0, 1)
+    root = inner
+    inner += 1
+    for idx in range(2, T):
+        best_j, best_d = placed[0], None
+        for j in placed:
+            d = len(delta_sets[idx] ^ delta_sets[j])
+            if best_d is None or d < best_d:
+                best_j, best_d = j, d
+        P = inner
+        inner += 1
+        old_parent = int(parent[best_j])
+        gc = list(children[old_parent])
+        gc[gc.index(best_j)] = P
+        children[old_parent] = gc
+        parent[P] = old_parent
+        children[P] = (min(idx, best_j), max(idx, best_j))
+        parent[idx] = P
+        parent[best_j] = P
+        placed.append(idx)
+
+    mutations = [[] for _ in range(N)]
+    miss_intervals = [[] for _ in range(N)]
+    miss_from_states = [{} for _ in range(N)]
+    for i in range(T):
+        miss_intervals[i] = sorted(tip_miss_intervals[i])
+
+    tree = FlatTree(parent=parent, children=children, t=t, t_min=t_min,
+                    t_max=t_max, root=root,
+                    ref_seq=np.asarray(ref_seq, dtype=np.int8),
+                    mutations=mutations, miss_intervals=miss_intervals,
+                    miss_from_states=miss_from_states,
+                    name=list(names) if names else [f"tip_{i}" for i in range(T)])
+
+    # time inner nodes with the ~13 days/mutation heuristic
+    # (core/dates.cpp pseudo_date:64-84)
+    est = {}
+    for n in tree.post_order():
+        n = int(n)
+        if tree.is_tip(n):
+            est[n] = t[n] - 13.0 * len(tip_deltas[n])
+        else:
+            l, r = int(children[n, 0]), int(children[n, 1])
+            t[n] = min(est[l], est[r]) - rng.uniform(0.5, 1.5)
+            est[n] = t[n]
+
+    # all deltas as tip-branch mutations at uniform times
+    for i in range(T):
+        t_p = t[int(parent[i])]
+        for (site, to) in tip_deltas[i]:
+            frm = int(ref_seq[site])
+            if frm == to:
+                continue
+            mutations[i].append(Mutation(site=site, from_=frm, to=to,
+                                         t=rng.uniform(t_p, t[i])))
+        mutations[i].sort(key=lambda m: m.key())
+
+    fix_up_missations(tree)
+    return tree
+
+
 def fix_up_missations(tree: FlatTree):
     """Normalize missations (reference fix_up_missations, phylo_tree.h:102):
     a site missing on both sibling branches is recorded on the parent branch

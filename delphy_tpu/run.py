@@ -150,6 +150,10 @@ class Run:
                         host_pop, self.t_max_tip)
         self.topology_accepted += mixer.n_accepted
         self.topology_proposed += mixer.n_proposed
+        # keep the reference sequence anchored at the root (normalize_root,
+        # run.cpp:258-275; log_G is invariant)
+        from .phylo import rereference_to_root_sequence
+        rereference_to_root_sequence(tree)
         if self.ledger is not None:
             self.ledger = self.ledger._replace(
                 log_G=self.ledger.log_G + mixer.delta_log_G,
