@@ -104,27 +104,45 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
     return ts, evo, pop_params, grid, caches, ledger, key, stats
 
 
+REFORM_BATCH = 16
+
+
 def run_local_sweep(ts: TreeState, caches: Caches, grid, ledger, evo, pop_params,
                     key, n_moves, t_max_tip):
-    """n_moves sequential local moves in one fori_loop (cf. Subrun::mcmc_sub_iteration,
-    subrun.cpp:98-121; move mix weights 7.5/7.5/15 with topology moves pending)."""
-    def body(i, carry):
+    """Local moves with the reference's 25/25/50 inner/tip/reform mix
+    (subrun.cpp:98-121), restructured for the TPU: node/tip displacements stay
+    sequential (the coalescent prior couples them), but branch reforms — half
+    the mix — run as vectorized batches of REFORM_BATCH distinct branches.
+
+    One block = REFORM_BATCH sequential displacements (alternating inner/tip)
+    + one batched reform of REFORM_BATCH branches = 2*REFORM_BATCH
+    move-equivalents for REFORM_BATCH+1 loop iterations."""
+    B = REFORM_BATCH
+
+    def disp_body(j, carry):
         ts, grid, ledger, key = carry
         key, k_sel, k_node, k_prop, k_acc = jax.random.split(key, 5)
-        r = jax.random.uniform(k_sel, (), jnp.float64, 0.0, 30.0)
-        idx = (r >= 7.5).astype(jnp.int32) + (r >= 15.0).astype(jnp.int32)
+        r = jax.random.uniform(k_sel, (), jnp.float64, 0.0, 1.0)
         keys = (k_node, k_prop, k_acc)
         c4 = (ts, caches, grid, ledger)
-        c4 = jax.lax.switch(idx, [
+        c4 = jax.lax.cond(
+            r < 0.5,
             lambda c: moves.inner_node_displace(c, keys, pop_params, t_max_tip),
             lambda c: moves.tip_displace(c, keys, pop_params, t_max_tip),
-            lambda c: moves.branch_reform(c, keys, evo, pop_params, t_max_tip),
-        ], c4)
+            c4)
         ts, _, grid, ledger = c4
         return (ts, grid, ledger, key)
 
+    def block_body(i, carry):
+        carry = jax.lax.fori_loop(0, B, disp_body, carry)
+        ts, grid, ledger, key = carry
+        key, k_reform = jax.random.split(key)
+        ts, ledger = moves.batched_branch_reform(ts, ledger, evo, k_reform, B)
+        return (ts, grid, ledger, key)
+
+    n_blocks = (n_moves + 2 * B - 1) // (2 * B)
     ts, grid, ledger, key = jax.lax.fori_loop(
-        0, n_moves, body, (ts, grid, ledger, key))
+        0, n_blocks, block_body, (ts, grid, ledger, key))
     return ts, grid, ledger, key
 
 
