@@ -105,19 +105,27 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
 
 
 REFORM_BATCH = 16
+SEQ_DISP_PER_BLOCK = 2
 
 
 def run_local_sweep(ts: TreeState, caches: Caches, grid, ledger, evo, pop_params,
                     key, n_moves, t_max_tip):
-    """Local moves with the reference's 25/25/50 inner/tip/reform mix
-    (subrun.cpp:98-121), restructured for the TPU: node/tip displacements stay
-    sequential (the coalescent prior couples them), but branch reforms — half
-    the mix — run as vectorized batches of REFORM_BATCH distinct branches.
+    """Local moves, restructured for the TPU.
 
-    One block = REFORM_BATCH sequential displacements (alternating inner/tip)
-    + one batched reform of REFORM_BATCH branches = 2*REFORM_BATCH
-    move-equivalents for REFORM_BATCH+1 loop iterations."""
+    Per block:
+      - SEQ_DISP_PER_BLOCK sequential single-node displacements (cover the
+        root and wide-window nodes the coloring can't batch);
+      - one cell-block-colored batched displacement of up to k_max nodes
+        (exactly factorized accepts; moves.batched_node_displace);
+      - one batched branch reform of REFORM_BATCH branches.
+
+    This is the reference's move set (subrun.cpp:98-121) with the
+    thread-level concurrency of its partition scheme replaced by exact
+    SIMD-width concurrency.  Returns the actual number of attempted
+    move-equivalents (a traced scalar) for honest throughput accounting."""
     B = REFORM_BATCH
+    C = grid.num_cells
+    k_max = max(8, C // 8)
 
     def disp_body(j, carry):
         ts, grid, ledger, key = carry
@@ -134,16 +142,22 @@ def run_local_sweep(ts: TreeState, caches: Caches, grid, ledger, evo, pop_params
         return (ts, grid, ledger, key)
 
     def block_body(i, carry):
-        carry = jax.lax.fori_loop(0, B, disp_body, carry)
-        ts, grid, ledger, key = carry
-        key, k_reform = jax.random.split(key)
+        ts, grid, ledger, key, count = carry
+        ts, grid, ledger, key = jax.lax.fori_loop(
+            0, SEQ_DISP_PER_BLOCK, disp_body, (ts, grid, ledger, key))
+        key, k_disp, k_reform = jax.random.split(key, 3)
+        ts, grid, ledger, n_att = moves.batched_node_displace(
+            ts, caches, grid, ledger, pop_params, k_disp, t_max_tip, k_max)
         ts, ledger = moves.batched_branch_reform(ts, ledger, evo, k_reform, B)
-        return (ts, grid, ledger, key)
+        count = count + SEQ_DISP_PER_BLOCK + n_att + B
+        return (ts, grid, ledger, key, count)
 
-    n_blocks = (n_moves + 2 * B - 1) // (2 * B)
-    ts, grid, ledger, key = jax.lax.fori_loop(
-        0, n_blocks, block_body, (ts, grid, ledger, key))
-    return ts, grid, ledger, key
+    nominal = SEQ_DISP_PER_BLOCK + k_max // 2 + B
+    n_blocks = (n_moves + nominal - 1) // nominal
+    ts, grid, ledger, key, count = jax.lax.fori_loop(
+        0, n_blocks, block_body,
+        (ts, grid, ledger, key, jnp.int64(0)))
+    return ts, grid, ledger, key, count
 
 
 @partial(jax.jit, static_argnames=("hyp", "num_cells"))
@@ -153,6 +167,7 @@ def super_step(ts: TreeState, evo: EvoParams, pop_params, key,
     """One global boundary + n_local_moves local moves."""
     ts, evo, pop_params, grid, caches, ledger, key, stats = run_global_moves(
         ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells)
-    ts, grid, ledger, key = run_local_sweep(
+    ts, grid, ledger, key, count = run_local_sweep(
         ts, caches, grid, ledger, evo, pop_params, key, n_local_moves, t_max_tip)
+    stats = dict(stats, local_moves_attempted=count)
     return ts, evo, pop_params, key, ledger, stats

@@ -179,6 +179,145 @@ def tip_displace(carry, keys, pop_params, t_max_tip):
     return (ts, caches, grid, ledger)
 
 
+def _segment_minmax_mut_times(ts: TreeState):
+    """Per-node max/min mutation time on each node's own branch (pool-wide
+    scatter reductions; root deltas excluded by their sentinel times being
+    masked out through the valid mask)."""
+    N = ts.num_nodes
+    node_safe = jnp.maximum(ts.mut_node, 0)
+    valid = (ts.mut_node >= 0) & (ts.mut_node != ts.root)
+    own_max = jnp.full(N, -jnp.inf).at[node_safe].max(
+        jnp.where(valid, ts.mut_t, -jnp.inf))
+    own_min = jnp.full(N, jnp.inf).at[node_safe].min(
+        jnp.where(valid, ts.mut_t, jnp.inf))
+    return own_max, own_min
+
+
+def batched_node_displace(ts: TreeState, caches: Caches, grid, ledger: Ledger,
+                          pop_params, key, t_max_tip, k_max: int,
+                          cells_per_block: int = 4):
+    """Displace up to k_max nodes (inner AND tips) in one vectorized pass.
+
+    Exactness by coloring: the coalescent grid's cells are partitioned into
+    blocks of `cells_per_block` cells at a random offset; a node is a batch
+    candidate only if its whole proposal window [t_min, t_max] lies inside one
+    block.  One winner per block (random priority), and parent-child pairs are
+    dropped.  Selected nodes then touch disjoint log-posterior terms — their
+    branch terms are disjoint (no tree adjacency), their k_bar deltas touch
+    disjoint cells, and their -log N(t) point terms are per-node — so the
+    batch of bounded-exponential MH moves (subrun.cpp:148-285 semantics per
+    node) composes exactly like sequential moves.  Wide-window nodes and the
+    root are covered by the interleaved sequential displacements.
+
+    This replaces the reference's thread-per-partition concurrency
+    (run.cpp:682-693) with SIMD-width concurrency on one chip.
+    """
+    N = ts.num_nodes
+    C = grid.num_cells
+    n_blocks = C // cells_per_block
+    (k_off, k_pri, k_prop, k_acc) = jax.random.split(key, 4)
+
+    own_max, child_min = _segment_minmax_mut_times(ts)
+
+    nodes = jnp.arange(N)
+    is_tip = ts.is_tip
+    safe_par = jnp.maximum(ts.parent, 0)
+    t_par = ts.t[safe_par]
+
+    # per-node child bound: min over children of (t_child, earliest child mut)
+    c0 = ts.children[:, 0]
+    c1 = ts.children[:, 1]
+
+    def child_bound(c):
+        cs = jnp.maximum(c, 0)
+        b = jnp.minimum(ts.t[cs], child_min[cs])
+        return jnp.where(c >= 0, b, jnp.inf)
+
+    t_hi_inner = jnp.minimum(child_bound(c0), child_bound(c1))
+    t_lo = jnp.maximum(t_par, own_max)
+    t_lo = jnp.where(is_tip, jnp.maximum(t_lo, ts.t_min), t_lo)
+    t_hi = jnp.where(is_tip, ts.t_max, t_hi_inner)
+
+    movable = (nodes != ts.root) & (t_lo < t_hi)
+
+    # block coloring at a random cell offset
+    offset = jax.random.randint(k_off, (), 0, cells_per_block)
+    rel_lo = (t_lo - grid.t_lo) / grid.t_step
+    rel_hi = (t_hi - grid.t_lo) / grid.t_step
+    cell_lo = jnp.floor(rel_lo).astype(jnp.int32) + offset
+    cell_hi = jnp.floor(rel_hi).astype(jnp.int32) + offset
+    blk_lo = jnp.where(cell_lo >= 0, cell_lo // cells_per_block, -1)
+    blk_hi = jnp.where(cell_hi >= 0, cell_hi // cells_per_block, -1)
+    in_grid = (cell_lo >= 0) & (cell_hi < C)
+    fits = movable & in_grid & (blk_lo == blk_hi)
+
+    pri = jax.random.uniform(k_pri, (N,), jnp.float64, 0.0, 1.0)
+    pri = jnp.where(fits, pri, -1.0)
+    blk = jnp.clip(blk_lo, 0, n_blocks - 1)
+    best = jnp.full(n_blocks, -1.0).at[blk].max(pri)
+    selected = fits & (pri >= 0.0) & (pri == best[blk])
+    # drop children whose parent is selected (tree adjacency conflict)
+    selected = selected & ~(selected[safe_par] & (ts.parent >= 0))
+
+    idx = jnp.nonzero(selected, size=k_max, fill_value=-1)[0]
+    slot_ok = idx >= 0
+    si = jnp.maximum(idx, 0)
+
+    # d logG/dt per node (subrun.cpp:171-182 / 248-252)
+    lam = caches.lambda_i[si]
+    sc0, sc1 = c0[si], c1[si]
+    lam_b0 = jnp.where(sc0 >= 0, lam + caches.dlam_miss[jnp.maximum(sc0, 0)], 0.0)
+    lam_b1 = jnp.where(sc1 >= 0, lam + caches.dlam_miss[jnp.maximum(sc1, 0)], 0.0)
+    d = -lam + lam_b0 + lam_b1
+
+    a = t_lo[si]
+    b = t_hi[si]
+    old_t = ts.t[si]
+    u = jax.random.uniform(k_prop, (k_max,), jnp.float64, 1e-300, 1.0)
+    ltr = d * (b - a)
+    safe_d = jnp.where(d == 0.0, 1.0, d)
+    ltr_c = jnp.clip(ltr, -100.0, 100.0)
+    mid = a + jnp.log1p(u * jnp.expm1(ltr_c)) / safe_d
+    hi_br = b + jnp.log(u) / safe_d
+    lo_br = a + jnp.log(u) / safe_d
+    new_t = jnp.where(d == 0.0, a + u * (b - a),
+                      jnp.where((d > 0.0) & (ltr > 100.0), hi_br,
+                                jnp.where((d < 0.0) & (ltr < -100.0), lo_br, mid)))
+    new_t = jnp.clip(new_t, a, b)
+    in_bounds = slot_ok & (new_t > a) & (new_t < b)
+
+    # per-slot coalescent delta over the full cell axis (disjoint supports)
+    node_is_tip = is_tip[si]
+    sign = jnp.where(node_is_tip, 1.0, -1.0)
+    lbs = grid.cell_lbounds()[None, :]
+    frac_old = jnp.clip((old_t[:, None] - lbs) / grid.t_step, 0.0, 1.0)
+    frac_new = jnp.clip((new_t[:, None] - lbs) / grid.t_step, 0.0, 1.0)
+    dk = sign[:, None] * (frac_new - frac_old)          # [k_max, C]
+    kb = grid.k_bar[None, :]
+    delta_quad = -jnp.sum(grid.t_step * ((kb + dk) * (kb + dk - 1.0)
+                                         - kb * (kb - 1.0))
+                          / (2.0 * grid.popsize_bar[None, :]), axis=1)
+    from .. import pop as popm
+    logN_new = jnp.log(popm.pop_at_time(pop_params, new_t))
+    logN_old = jnp.log(popm.pop_at_time(pop_params, old_t))
+    delta_coal = delta_quad + jnp.where(node_is_tip, 0.0, -(logN_new - logN_old))
+
+    delta_log_G = d * (new_t - old_t)
+    # bounded-exp proposal density cancels delta_log_G; MH on coal delta only
+    lu = jnp.log(jax.random.uniform(k_acc, (k_max,), jnp.float64, 1e-300, 1.0))
+    accept = in_bounds & ((delta_coal >= 0.0) | (lu < delta_coal))
+
+    t_new_vec = ts.t.at[si].set(jnp.where(accept, new_t, old_t))
+    ts = ts._replace(t=t_new_vec)
+    k_bar = grid.k_bar + jnp.sum(jnp.where(accept[:, None], dk, 0.0), axis=0)
+    grid = grid._replace(k_bar=k_bar)
+    ledger = ledger._replace(
+        log_G=ledger.log_G + jnp.sum(jnp.where(accept, delta_log_G, 0.0)),
+        log_coal=ledger.log_coal + jnp.sum(jnp.where(accept, delta_coal, 0.0)))
+    n_attempted = jnp.sum(slot_ok.astype(jnp.int64))
+    return ts, grid, ledger, n_attempted
+
+
 def batched_branch_reform(ts: TreeState, ledger: Ledger, evo: EvoParams, key,
                           batch_size: int):
     """Resample mutation times on `batch_size` DISTINCT random branches in one

@@ -92,6 +92,7 @@ class Run:
 
         self.key = jax.random.PRNGKey(seed)
         self.step = 0
+        self.local_moves_attempted = 0
         self.ledger: Ledger | None = None
         self.last_stats = None
 
@@ -126,10 +127,12 @@ class Run:
              self.last_stats) = super_step(
                 self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
                 chunk, self.t_max_tip, self.hyp, self.num_cells)
+            self.local_moves_attempted += int(self.last_stats["local_moves_attempted"])
             if self.topology_moves_enabled:
                 k = int(self.host_rng.binomial(chunk, 2.0 / 30.0))
                 if k > 0:
                     self._topology_burst(k)
+                    self.local_moves_attempted += k
             done += chunk
         self.step += n_steps
 

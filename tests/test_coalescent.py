@@ -64,3 +64,28 @@ def test_displace_delta_matches_recompute(rng):
         np.testing.assert_allclose(float(delta), full - base, atol=1e-9,
                                    err_msg=f"node {node}")
         np.testing.assert_allclose(np.asarray(new_k), np.asarray(grid2.k_bar), atol=1e-9)
+
+
+def test_grid_prior_converges_to_exact(rng):
+    """The discretized grid prior approaches the exact Kingman prior as the
+    cell size shrinks (reference cross-check strategy:
+    tests/scalable_coalescent_tests.cpp)."""
+    from delphy_tpu.ops.exact_coalescent import exact_coalescent_log_prior
+
+    tree = _random_tree(rng)
+    is_tip = tree.children[:, 0] == -1
+    p = pop.ExpPopParams(t0=jnp.float64(50.0), n0=jnp.float64(80.0),
+                         g=jnp.float64(0.01), min_pop=jnp.float64(1.0))
+    exact = exact_coalescent_log_prior(tree.t, is_tip, p)
+
+    t_lo = float(tree.t.min() - 3.0)
+    span = float(tree.t.max() + 1.0 - t_lo)
+    errs = []
+    for C in (64, 256, 1024):
+        grid = coal.make_grid(p, jnp.asarray(tree.t), jnp.asarray(is_tip),
+                              t_lo, span / C, C)
+        lp = float(coal.calc_log_prior(grid, p, jnp.asarray(tree.t),
+                                       jnp.asarray(is_tip)))
+        errs.append(abs(lp - exact))
+    assert errs[2] < errs[0]
+    assert errs[2] < 0.05 * max(abs(exact), 1.0)
