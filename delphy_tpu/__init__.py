@@ -16,7 +16,14 @@ import os
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# Precision: double by default (the reference's ledger tolerances are
+# 1e-6..1e-8, run.cpp:316-338).  DELPHY_TPU_F32=1 runs the whole engine in
+# single precision — on TPU, f64 is software-emulated and much slower; the
+# full ledger recompute at every global boundary resets f32 accumulation
+# drift, and MH log-ratios at 1e-7 relative error are statistically
+# negligible.  Times at f32 resolve ~5 seconds over a +-1000-day axis.
+if not os.environ.get("DELPHY_TPU_F32"):
+    jax.config.update("jax_enable_x64", True)
 if os.environ.get("DELPHY_TPU_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 

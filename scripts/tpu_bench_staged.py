@@ -1,6 +1,7 @@
 """Staged TPU bench: small -> large, verbose, single process."""
 import sys; sys.path.insert(0, "/root/repo")
 import time, sys, os
+os.environ.setdefault("DELPHY_TPU_F32", "1")
 t0 = time.time()
 def log(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
 
@@ -23,10 +24,12 @@ for (T, L, steps) in [(20, 2000, 4000), (81, 18959, 20000)]:
     run.do_mcmc_steps(10)
     log(f"first super_step (compile): {time.time()-tA:.1f}s")
     tA = time.time()
+    base = run.local_moves_attempted
     run.do_mcmc_steps(steps)
     dt = time.time() - tA
-    log(f"{steps} steps in {dt:.2f}s = {steps/dt:,.0f} moves/s  | {run.stats_line()}")
-    run.check_derived_quantities(1e-5)
+    att = run.local_moves_attempted - base
+    log(f"{steps} nominal ({att} attempted) in {dt:.2f}s = {att/dt:,.0f} attempted moves/s  | {run.stats_line()}")
+    run.check_derived_quantities(1e-2)
     log("ledger invariant OK")
 log("DONE")
 os._exit(0)

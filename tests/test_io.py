@@ -144,3 +144,26 @@ def test_cli_end_to_end(tmp_path):
     assert trees_text.startswith("#NEXUS")
     assert "tree STATE_" in trees_text
     assert trees_text.rstrip().endswith("End;")
+
+
+def test_beast_xml_export(tmp_path):
+    import xml.etree.ElementTree as ET
+    from delphy_tpu.phylo import build_random_tree
+    from delphy_tpu.run import Run
+    from delphy_tpu.io.beast_xml import export_beast2_xml
+
+    ref, deltas, miss, dates, names, _ = simulate_dataset(6, 60, mu=2e-4, seed=9)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(9))
+    run = Run(tree, seed=9, num_cells=64, local_moves_per_global_move=100)
+    run.do_mcmc_steps(100)
+    out = tmp_path / "beast.xml"
+    with open(out, "w") as f:
+        export_beast2_xml(f, run.tree(), run, chain_length=1000)
+    root = ET.parse(out).getroot()
+    assert root.tag == "beast"
+    seqs = root.find("data").findall("sequence")
+    assert len(seqs) == 6
+    assert len(seqs[0].get("value")) == 60
+    ops = root.find("run").findall("operator")
+    assert len(ops) >= 10
