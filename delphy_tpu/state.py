@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .phylo import FlatTree, Mutation, NO_NODE
@@ -131,33 +132,40 @@ def pack_state(tree: FlatTree, mut_capacity: int | None = None,
 
 
 def unpack_state(ts: TreeState, names=None) -> FlatTree:
-    N = ts.num_nodes
-    parent = np.asarray(ts.parent)
-    children = np.asarray(ts.children)
-    root = int(ts.root)
+    # Pull ALL device arrays to host first: scalar indexing of device arrays
+    # would cost one tunnel round trip per element
+    h = jax.device_get(ts) if not isinstance(ts.parent, np.ndarray) else ts
+    N = len(h.parent)
+    parent = np.asarray(h.parent)
+    children = np.asarray(h.children)
+    root = int(h.root)
     mutations = [[] for _ in range(N)]
-    mn = np.asarray(ts.mut_node)
+    mn = np.asarray(h.mut_node)
+    msite, mfrom, mto, mt = (np.asarray(h.mut_site), np.asarray(h.mut_from),
+                             np.asarray(h.mut_to), np.asarray(h.mut_t))
     for j in np.nonzero(mn >= 0)[0]:
-        node = int(mn[j])
-        mutations[node].append(Mutation(site=int(ts.mut_site[j]), from_=int(ts.mut_from[j]),
-                                        to=int(ts.mut_to[j]), t=float(ts.mut_t[j])))
+        mutations[int(mn[j])].append(Mutation(site=int(msite[j]), from_=int(mfrom[j]),
+                                              to=int(mto[j]), t=float(mt[j])))
     for node in range(N):
         mutations[node].sort(key=lambda m: (m.t, m.site))
     miss_intervals = [[] for _ in range(N)]
-    vn = np.asarray(ts.miss_node)
+    vn = np.asarray(h.miss_node)
+    vs, ve = np.asarray(h.miss_start), np.asarray(h.miss_end)
     for j in np.nonzero(vn >= 0)[0]:
-        miss_intervals[int(vn[j])].append((int(ts.miss_start[j]), int(ts.miss_end[j])))
+        miss_intervals[int(vn[j])].append((int(vs[j]), int(ve[j])))
     for node in range(N):
         miss_intervals[node].sort()
     miss_from_states = [{} for _ in range(N)]
-    fn = np.asarray(ts.fs_node)
+    fn = np.asarray(h.fs_node)
+    fsi, ffr = np.asarray(h.fs_site), np.asarray(h.fs_from)
     for j in np.nonzero(fn >= 0)[0]:
-        miss_from_states[int(fn[j])][int(ts.fs_site[j])] = int(ts.fs_from[j])
+        miss_from_states[int(fn[j])][int(fsi[j])] = int(ffr[j])
     return FlatTree(
         parent=parent.copy(), children=children.copy(),
-        t=np.asarray(ts.t).copy(), t_min=np.asarray(ts.t_min).copy(),
-        t_max=np.asarray(ts.t_max).copy(), root=root,
-        ref_seq=np.asarray(ts.ref_seq, dtype=np.int8).copy(),
+        t=np.asarray(h.t, dtype=np.float64).copy(),
+        t_min=np.asarray(h.t_min, dtype=np.float64).copy(),
+        t_max=np.asarray(h.t_max, dtype=np.float64).copy(), root=root,
+        ref_seq=np.asarray(h.ref_seq, dtype=np.int8).copy(),
         mutations=mutations, miss_intervals=miss_intervals,
         miss_from_states=miss_from_states,
         name=list(names) if names else [f"tip_{i}" for i in range((N + 1) // 2)],
