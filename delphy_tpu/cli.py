@@ -53,6 +53,21 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-target-coal-prior-cells", type=int, default=400)
     a("--v0-init", choices=["random", "greedy", "mp-plus-timing"], default="greedy",
       help="'greedy'/'mp-plus-timing': nearest-neighbour parsimony guide tree; 'random': random coalescent topology")
+    a("--v0-skygrid-type", choices=["staircase", "log-linear"], default="staircase")
+    a("--v0-skygrid-num-parameters", type=int, default=50)
+    a("--v0-skygrid-cutoff", type=float, default=0.0,
+      help="years before last tip for the final transition (0 = auto)")
+    a("--v0-skygrid-tau", type=float, default=1.0)
+    a("--v0-skygrid-tau-prior-alpha", type=float, default=0.001)
+    a("--v0-skygrid-tau-prior-beta", type=float, default=0.001)
+    a("--v0-skygrid-disable-low-pop-barrier", action="store_true")
+    a("--v0-out-delphy-file", metavar="FILE",
+      help="run snapshot (npz save/resume; functional .dphy counterpart)")
+    a("--v0-delphy-snapshot-every", type=int, default=-1)
+    a("--v0-out-beast-xml", metavar="FILE",
+      help="export an equivalent BEAST2 XML config and exit")
+    a("--v0-out-mcc-file", metavar="FILE",
+      help="MCC tree (NEXUS) derived from sampled trees at --v0-tree-every")
     return p
 
 
@@ -125,10 +140,20 @@ def main(argv=None) -> int:
         pop_growth_rate_move_enabled=not args.v0_fix_pop_growth_rate,
         pop_g_min=args.v0_pop_growth_rate_min / 365.0 if math.isfinite(args.v0_pop_growth_rate_min) else -math.inf,
         pop_g_max=args.v0_pop_growth_rate_max / 365.0 if math.isfinite(args.v0_pop_growth_rate_max) else math.inf,
+        skygrid_tau_prior_alpha=args.v0_skygrid_tau_prior_alpha,
+        skygrid_tau_prior_beta=args.v0_skygrid_tau_prior_beta,
+        skygrid_low_gamma_barrier_enabled=not args.v0_skygrid_disable_low_pop_barrier,
         **hyp_kwargs)
 
+    from delphy_tpu import pop as popm
     run = Run(tree, seed=args.v0_seed, hyp=hyp,
-              num_cells=max(64, args.v0_target_coal_prior_cells))
+              num_cells=max(64, args.v0_target_coal_prior_cells),
+              pop_model=args.v0_pop_model,
+              skygrid_num_parameters=args.v0_skygrid_num_parameters,
+              skygrid_cutoff_days=(args.v0_skygrid_cutoff * 365.0
+                                   if args.v0_skygrid_cutoff > 0 else None),
+              skygrid_type=(popm.STAIRCASE if args.v0_skygrid_type == "staircase"
+                            else popm.LOG_LINEAR))
     if args.v0_init_mutation_rate is not None:
         run.set_mu(args.v0_init_mutation_rate / 365.0)
     if args.v0_init_final_pop_size is not None:
@@ -136,9 +161,18 @@ def main(argv=None) -> int:
     if args.v0_init_pop_growth_rate is not None:
         run.set_pop(g=args.v0_init_pop_growth_rate / 365.0)
 
+    if args.v0_out_beast_xml:
+        from .io.beast_xml import export_beast2_xml
+        with open(args.v0_out_beast_xml, "w") as f:
+            export_beast2_xml(f, run.tree(), run)
+        print(f"Wrote BEAST2 XML to {args.v0_out_beast_xml}", file=sys.stderr)
+        return 0
+
     steps = args.v0_steps if args.v0_steps > 0 else 100_000 * len(tips)
     log_every = args.v0_log_every if args.v0_log_every > 0 else max(steps // 100, 1)
     tree_every = args.v0_tree_every if args.v0_tree_every > 0 else max(steps // 100, 1)
+    snap_every = (args.v0_delphy_snapshot_every if args.v0_delphy_snapshot_every > 0
+                  else max(steps // 10, 1))
 
     log_out = trees_out = None
     if args.v0_out_log_file:
@@ -150,28 +184,43 @@ def main(argv=None) -> int:
         trees_out = BeastTreesOutput(open(args.v0_out_trees_file, "w"))
         trees_out.write_preamble(tree)
 
-    granularity = math.gcd(log_every, tree_every)
+    granularity = math.gcd(math.gcd(log_every, tree_every), snap_every)
     stamps = deque(maxlen=10)
     done = 0
+    sampled_trees = []
     while done < steps:
         chunk = min(granularity, steps - done)
         run.do_mcmc_steps(chunk)
         done += chunk
-        stamps.append((done, time.time()))
+        stamps.append((run.local_moves_attempted, time.time()))
         if len(stamps) >= 2:
             (s0, w0), (s1, w1) = stamps[0], stamps[-1]
             rate = (s1 - s0) / max(w1 - w0, 1e-9)
         else:
             rate = 0.0
-        print(f"{run.stats_line()}  [{rate / 1e6:.3f} Msteps/s]", file=sys.stderr)
+        print(f"{run.stats_line()}  [{rate / 1e6:.3f} Mmoves/s]", file=sys.stderr)
         if log_out and done % log_every == 0:
             log_out.write_line(run)
-        if trees_out and done % tree_every == 0:
-            trees_out.write_tree(run.tree(), done)
+        if done % tree_every == 0:
+            t = run.tree()
+            if trees_out:
+                trees_out.write_tree(t, done)
+            if args.v0_out_mcc_file and done > steps // 2:  # post-burn-in
+                sampled_trees.append(t)
+        if args.v0_out_delphy_file and done % snap_every == 0:
+            from .io.snapshot import save_run
+            save_run(run, args.v0_out_delphy_file)
         if args.v0_paranoid:
-            run.check_derived_quantities(1e-5)
+            run.check_derived_quantities(1e-4)
     if trees_out:
         trees_out.write_epilog()
+    if args.v0_out_mcc_file and len(sampled_trees) >= 2:
+        from .mcc import derive_mcc_tree, mcc_to_nexus
+        mcc = derive_mcc_tree(sampled_trees, seed=args.v0_seed)
+        with open(args.v0_out_mcc_file, "w") as f:
+            mcc_to_nexus(mcc, f)
+        print(f"Wrote MCC tree ({len(sampled_trees)} samples) to "
+              f"{args.v0_out_mcc_file}", file=sys.stderr)
     return 0
 
 
