@@ -154,9 +154,12 @@ def run_local_sweep(ts: TreeState, caches: Caches, grid, ledger, evo, pop_params
 
     nominal = SEQ_DISP_PER_BLOCK + k_max // 2 + B
     n_blocks = (n_moves + nominal - 1) // nominal
+    # derive the counter's initial value from sharded data so its
+    # varying-axes annotation matches the loop body under shard_map
+    count0 = (ts.root * 0).astype(jnp.int64)
     ts, grid, ledger, key, count = jax.lax.fori_loop(
         0, n_blocks, block_body,
-        (ts, grid, ledger, key, jnp.int64(0)))
+        (ts, grid, ledger, key, count0))
     return ts, grid, ledger, key, count
 
 

@@ -105,3 +105,51 @@ def test_snapshot_skygrid(tmp_path):
     run.do_mcmc_steps(200)
     run2.do_mcmc_steps(200)
     assert run.log_posterior == run2.log_posterior
+
+
+def test_newick_parse_roundtrip():
+    from delphy_tpu.io.beast_out import newick_string
+    from delphy_tpu.io.newick import parse_newick, newick_to_flat_tree
+
+    run = make_run(seed=63)
+    run.do_mcmc_steps(200)
+    tree = run.tree()
+    s = newick_string(tree)
+    root = parse_newick(s)
+    tr2 = newick_to_flat_tree(root, tree.ref_seq, t_root=float(tree.t[tree.root]))
+    assert tr2.num_tips == tree.num_tips
+    # same tip-depth profile (branch lengths preserved)
+    def depths(t):
+        out = {}
+        for i in range(t.num_tips):
+            d, cur = 0.0, i
+            while cur != t.root:
+                d += t.t[cur] - t.t[int(t.parent[cur])]
+                cur = int(t.parent[cur])
+            out[t.name[i] or str(i + 1)] = d
+        return out
+    d1 = {str(i + 1): v for i, v in enumerate(depths(tree).values())}
+    d2 = depths(tr2)
+    for k in d2:
+        np.testing.assert_allclose(d2[k], d1[k], rtol=1e-5)
+
+
+def test_mcc_from_trees_tool(tmp_path):
+    from delphy_tpu.io.beast_out import BeastTreesOutput
+    from delphy_tpu.tools import mcc_from_trees
+
+    run = make_run(seed=67)
+    trees_f = tmp_path / "run.trees"
+    out = BeastTreesOutput(open(trees_f, "w"))
+    out.write_preamble(run.tree())
+    for i in range(8):
+        run.do_mcmc_steps(150)
+        out.write_tree(run.tree(), run.step)
+    out.write_epilog()
+    out.fh.close()
+
+    mcc_f = tmp_path / "mcc.nexus"
+    mcc = mcc_from_trees(trees_f, mcc_f, ref_len=run.ts.num_sites, burn_in=0.25)
+    text = mcc_f.read_text()
+    assert "tree MCC =" in text
+    assert np.all(mcc.posterior_support > 0)
