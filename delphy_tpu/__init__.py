@@ -24,6 +24,10 @@ import jax
 # negligible.  Times at f32 resolve ~5 seconds over a +-1000-day axis.
 if not os.environ.get("DELPHY_TPU_F32"):
     jax.config.update("jax_enable_x64", True)
+else:
+    import warnings
+    warnings.filterwarnings(
+        "ignore", message="Explicitly requested dtype.*(float|int)64")
 if os.environ.get("DELPHY_TPU_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 

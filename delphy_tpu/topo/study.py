@@ -107,33 +107,52 @@ class SprStudyBuilder:
             d[m.site] = (m.to, m.from_)
 
     def visit_cur_region(self):
-        self.result.append(CandidateRegion(
-            branch=self.cur_branch,
-            mut_idx=self.cur_mut_idx,
-            t_min=self.region_t_min(self.cur_branch, self.cur_mut_idx),
-            t_max=self.region_t_max(self.cur_branch, self.cur_mut_idx),
-            min_muts=len(self.cur_to_X_deltas)))
+        # plain tuples during the DFS; CandidateRegion objects materialize
+        # once in seed_fill_from (object churn dominates the hot loop)
+        b, mi = self.cur_branch, self.cur_mut_idx
+        t = self.tree
+        muts = t.mutations[b]
+        if b == t.root:
+            t_min = NEG_BIG
+        elif mi == 0:
+            t_min = float(t.t[t.parent[b]])
+        else:
+            t_min = muts[mi - 1].t
+        if b == t.root:
+            t_max = float(t.t[b])
+        elif mi == len(muts):
+            t_max = float(t.t[b])
+        else:
+            t_max = muts[mi].t
+        self.result.append((b, mi, t_min, t_max, len(self.cur_to_X_deltas)))
 
     def seed_neighbors_except(self, old_branch, old_mut_idx):
         t = self.tree
+        cb, ci = self.cur_branch, self.cur_mut_idx
+        stack = self.work_stack
 
-        def maybe(nb, ni):
-            if nb == old_branch and ni == old_mut_idx:
-                return
-            self.add_forward_movement(nb, ni)
-
-        if self.cur_branch != t.root:
-            if self.cur_mut_idx > 0:
-                maybe(self.cur_branch, self.cur_mut_idx - 1)
+        if cb != t.root:
+            if ci > 0:
+                if not (cb == old_branch and ci - 1 == old_mut_idx):
+                    stack.append((cb, ci, True))
+                    stack.append((cb, ci - 1, False))
             else:
-                pb = int(t.parent[self.cur_branch])
-                maybe(pb, len(t.mutations[pb]))
-        if self.cur_mut_idx < len(t.mutations[self.cur_branch]):
-            maybe(self.cur_branch, self.cur_mut_idx + 1)
+                pb = int(t.parent[cb])
+                ni = len(t.mutations[pb])
+                if not (pb == old_branch and ni == old_mut_idx):
+                    stack.append((cb, ci, True))
+                    stack.append((pb, ni, False))
+        if ci < len(t.mutations[cb]):
+            if not (cb == old_branch and ci + 1 == old_mut_idx):
+                stack.append((cb, ci, True))
+                stack.append((cb, ci + 1, False))
         else:
-            for child in t.children[self.cur_branch]:
+            for child in t.children[cb]:
                 if child != NO_NODE:
-                    maybe(int(child), 0)
+                    child = int(child)
+                    if not (child == old_branch and 0 == old_mut_idx):
+                        stack.append((cb, ci, True))
+                        stack.append((child, 0, False))
 
     def do_pending_work(self):
         while self.work_stack:
@@ -153,6 +172,9 @@ class SprStudyBuilder:
         self.cur_to_X_deltas = dict(init_to_X_deltas)
         self.add_forward_movement(init_branch, init_mut_idx)
         self.do_pending_work()
+        self.result = [CandidateRegion(branch=b, mut_idx=mi, t_min=tmin,
+                                       t_max=tmax, min_muts=mm)
+                       for (b, mi, tmin, tmax, mm) in self.result]
         self._account_for_Xs_detachment(can_change_root)
         self._remove_regions_in_Xs_future()
 
