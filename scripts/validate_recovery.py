@@ -1,0 +1,67 @@
+"""Statistical validation: posterior recovery of simulated truth.
+
+Simulates a dataset with known clock rate / root time / kappa, runs the full
+sampler, and reports posterior means vs truth (the in-repo stand-in for the
+reference's BEAST cross-validation, whitepaper §5)."""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("DELPHY_TPU_FORCE_CPU", os.environ.get("VAL_CPU", "1"))
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_greedy_tree
+from delphy_tpu.run import Run
+
+
+def main():
+    T, L = 24, 3000
+    mu_true = 1e-2 / 365.0  # 1e-2 subs/site/year (informative regime)
+    ref, deltas, miss, dates, names, truth = simulate_dataset(
+        T, L, mu=mu_true, kappa=3.0, sample_window_days=400.0,
+        coalescent_n0=150.0, missing_fraction=0.05, seed=101)
+    n_deltas = sum(len(d) for d in deltas)
+    print(f"dataset: {T} tips x {L} sites, {n_deltas} tip deltas")
+    tree = build_greedy_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(101))
+    run = Run(tree, seed=101, num_cells=256)
+
+    burn_in, n_samples, thin = 40_000, 60, 4_000
+    t0 = time.time()
+    run.do_mcmc_steps(burn_in)
+    mus, kappas, troots, muts = [], [], [], []
+    for _ in range(n_samples):
+        run.do_mcmc_steps(thin)
+        mus.append(float(run.evo.mu))
+        kappas.append(float(run.evo.kappa))
+        troots.append(float(run.ts.t[run.ts.root]))
+        muts.append(int(run.last_stats["num_muts"]))
+    run.check_derived_quantities(1e-4)
+    dt = time.time() - t0
+
+    mus, kappas, troots = map(np.asarray, (mus, kappas, troots))
+    print(f"samples: {n_samples} (thin {thin}) in {dt:.0f}s; "
+          f"topo acc {run.topology_accepted}/{run.topology_proposed}")
+    print(f"clock rate: true {mu_true * 365:.4f}/yr | "
+          f"posterior {mus.mean() * 365:.4f} +- {mus.std() * 365:.4f}")
+    print(f"kappa:      true {truth['kappa']:.2f}   | "
+          f"posterior {kappas.mean():.2f} +- {kappas.std():.2f}")
+    print(f"root time:  true {truth['root_time']:.1f} | "
+          f"posterior {troots.mean():.1f} +- {troots.std():.1f}")
+    print(f"num_muts:   {np.mean(muts):.0f} +- {np.std(muts):.0f}")
+
+    ok = (abs(mus.mean() - mu_true) < 4 * max(mus.std(), 0.1 * mu_true)
+          and abs(troots.mean() - truth["root_time"])
+          < 5 * max(troots.std(), 10.0))
+    print("RECOVERY:", "OK" if ok else "OFF")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    code = main()
+    sys.stdout.flush()
+    os._exit(code)
