@@ -32,6 +32,8 @@ class Run:
     def __init__(self, tree: FlatTree, seed: int = 0, hyp: PriorConfig = PriorConfig(),
                  num_cells: int = 512, local_moves_per_global_move: int = -1,
                  topology_moves_enabled: bool = True,
+                 topology_partitions: int = 0,
+                 topology_parallel_processes: bool = True,
                  pop_model: str = "exp", skygrid_num_parameters: int = 50,
                  skygrid_cutoff_days: float | None = None,
                  skygrid_type: int = popm.STAIRCASE):
@@ -50,6 +52,8 @@ class Run:
         self.hyp = hyp
         self.num_cells = num_cells
         self.topology_moves_enabled = topology_moves_enabled
+        self.topology_partitions = topology_partitions
+        self.topology_parallel_processes = topology_parallel_processes
         self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
         self.topology_accepted = 0
         self.topology_proposed = 0
@@ -136,31 +140,56 @@ class Run:
             done += chunk
         self.step += n_steps
 
+    def _topology_num_parts(self) -> int:
+        if self.topology_partitions > 0:
+            return self.topology_partitions
+        import os
+        T = self.ts.num_tips
+        return max(1, min(os.cpu_count() or 1, T // 16))
+
     def _topology_burst(self, n_moves: int):
         from .topo import TopologyMixer
         from .topo.mixer import HostExpPop, HostSkygridPop
+        from .phylo import rereference_to_root_sequence
         tree = unpack_state(self.ts, names=self.names)
-        mixer = TopologyMixer(tree, self.host_rng,
-                              num_cells=min(self.num_cells, 400))
         if isinstance(self.pop, popm.SkygridPopParams):
             host_pop = HostSkygridPop(np.asarray(self.pop.x),
                                       np.asarray(self.pop.gamma), self.pop.type)
         else:
             host_pop = HostExpPop(self.pop.t0, self.pop.n0, self.pop.g,
                                   self.pop.min_pop)
-        mixer.run_burst(n_moves, float(self.evo.mu), np.asarray(self.evo.nu),
-                        np.asarray(self.evo.q), np.asarray(self.evo.pi),
-                        host_pop, self.t_max_tip)
-        self.topology_accepted += mixer.n_accepted
-        self.topology_proposed += mixer.n_proposed
+        mu, nu, q, pi = (float(self.evo.mu), np.asarray(self.evo.nu),
+                         np.asarray(self.evo.q), np.asarray(self.evo.pi))
+
+        P = self._topology_num_parts()
+        if P > 1 and n_moves >= 16 * P:
+            # partitioned phase: the very-scalable augmented prior decouples
+            # parts, which run in parallel worker processes (the reference's
+            # subrun fan-out, run.cpp:682-693)
+            from .topo.parallel import run_partitioned_bursts
+            dlg, acc, prop = run_partitioned_bursts(
+                tree, n_moves, P, host_pop, mu, nu, q, pi, self.host_rng,
+                num_cells=min(self.num_cells, 400),
+                parallel=self.topology_parallel_processes)
+            self.topology_accepted += acc
+            self.topology_proposed += prop
+            if self.ledger is not None:
+                self.ledger = self.ledger._replace(
+                    log_G=self.ledger.log_G + dlg)
+                # log_coal is stale until the next boundary's full recompute
+        else:
+            mixer = TopologyMixer(tree, self.host_rng,
+                                  num_cells=min(self.num_cells, 400))
+            mixer.run_burst(n_moves, mu, nu, q, pi, host_pop, self.t_max_tip)
+            self.topology_accepted += mixer.n_accepted
+            self.topology_proposed += mixer.n_proposed
+            if self.ledger is not None:
+                self.ledger = self.ledger._replace(
+                    log_G=self.ledger.log_G + mixer.delta_log_G,
+                    log_coal=self.ledger.log_coal + mixer.delta_log_coal)
         # keep the reference sequence anchored at the root (normalize_root,
         # run.cpp:258-275; log_G is invariant)
-        from .phylo import rereference_to_root_sequence
         rereference_to_root_sequence(tree)
-        if self.ledger is not None:
-            self.ledger = self.ledger._replace(
-                log_G=self.ledger.log_G + mixer.delta_log_G,
-                log_coal=self.ledger.log_coal + mixer.delta_log_coal)
 
         n_muts = tree.num_mutations() + len(tree.mutations[tree.root])
         while n_muts > self.mut_capacity - 8:

@@ -155,25 +155,31 @@ class TopologyMixer:
     (reference weights 1.0 / 1.0 of 32; subrun.cpp:108-117)."""
 
     def __init__(self, tree: FlatTree, rng: np.random.Generator,
-                 num_cells: int = 400):
+                 num_cells: int = 400, can_change_root: bool = True):
         self.tree = tree
         self.rng = rng
         self.num_cells = num_cells
+        self.can_change_root = can_change_root
         self.n_accepted = 0
         self.n_proposed = 0
         # accumulated ledger deltas of accepted moves (host->device handoff)
         self.delta_log_G = 0.0
         self.delta_log_coal = 0.0
 
-    def run_burst(self, n_moves: int, mu, nu, q, pi, pop_params, t_max_tip: float):
+    def run_burst(self, n_moves: int, mu, nu, q, pi, pop_params, t_max_tip: float,
+                  coal=None):
         tree = self.tree
-        ctx = SprContext(tree, mu, nu, q, pi, can_change_root=True)
-        if hasattr(pop_params, "pop_integral"):
-            host_pop = pop_params
+        ctx = SprContext(tree, mu, nu, q, pi,
+                         can_change_root=self.can_change_root)
+        if coal is not None:
+            grid = coal
         else:
-            host_pop = HostExpPop(pop_params.t0, pop_params.n0, pop_params.g,
-                                  pop_params.min_pop)
-        grid = HostCoalGrid(tree, host_pop, self.num_cells, t_max_tip)
+            if hasattr(pop_params, "pop_integral"):
+                host_pop = pop_params
+            else:
+                host_pop = HostExpPop(pop_params.t0, pop_params.n0, pop_params.g,
+                                      pop_params.min_pop)
+            grid = HostCoalGrid(tree, host_pop, self.num_cells, t_max_tip)
         self.t_max_tip = t_max_tip
         for _ in range(n_moves):
             self.n_proposed += 1
@@ -192,6 +198,9 @@ class TopologyMixer:
             return
         t_X = float(tree.t[X])
         P = int(tree.parent[X])
+        if not self.can_change_root and (P == tree.root or SS == tree.root):
+            # this move could change the part root (subrun.cpp:690-695)
+            return
         old_t_P = float(tree.t[P])
         old_S = _sibling(tree, P, X)
         G = int(tree.parent[P])
@@ -315,6 +324,9 @@ class TopologyMixer:
         X = int(rng.integers(0, N))
         if X == tree.root:
             return
+        if int(tree.parent[X]) == tree.root and not self.can_change_root:
+            # pruning would change the part root (subrun.cpp:527-530)
+            return
         lam_X = ctx.lambda_at(X)
         if lam_X == 0.0:
             return
@@ -336,7 +348,8 @@ class TopologyMixer:
 
         pre_builder = SprStudyBuilder(tree, X, t_X, missing_at_X,
                                       max_muts_from_start=limit)
-        pre_builder.seed_fill_from(old_S, 0, old_deltas_P_to_X, True)
+        pre_builder.seed_fill_from(old_S, 0, old_deltas_P_to_X,
+                                   self.can_change_root)
         pre_study = SprStudy(pre_builder, lam_X, annealing_factor, t_X,
                              self.t_max_tip)
 
@@ -360,7 +373,8 @@ class TopologyMixer:
         new_deltas_P_to_X = self._summarize_closed(ctx, new_graft)
         post_builder = SprStudyBuilder(tree, X, t_X, missing_at_X,
                                        max_muts_from_start=limit)
-        post_builder.seed_fill_from(new_S, 0, new_deltas_P_to_X, True)
+        post_builder.seed_fill_from(new_S, 0, new_deltas_P_to_X,
+                                     self.can_change_root)
         post_study = SprStudy(post_builder, lam_X, annealing_factor, t_X,
                               self.t_max_tip)
         old_region = post_study.find_region(old_S, old_t_P)

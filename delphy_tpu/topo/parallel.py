@@ -1,0 +1,90 @@
+"""Process-parallel partitioned topology phase.
+
+The statistical decoupling (partition.py + vsc.py) makes per-part topology
+bursts independent, so they farm onto worker processes — the host-side
+counterpart of the reference's ctpl thread pool fan-out (run.cpp:682-693).
+Workers are pure numpy/scipy consumers of picklable part payloads; a
+persistent spawn-pool amortizes interpreter startup."""
+
+from __future__ import annotations
+
+import atexit
+import multiprocessing as mp
+import os
+
+import numpy as np
+
+_POOL = None
+
+
+def _get_pool(n_workers: int):
+    global _POOL
+    if _POOL is None or _POOL._processes < n_workers:
+        if _POOL is not None:
+            _POOL.terminate()
+        ctx = mp.get_context("spawn")
+        _POOL = ctx.Pool(processes=n_workers)
+        atexit.register(_POOL.terminate)
+    return _POOL
+
+
+def run_part_burst(payload):
+    """Worker: run one part's topology burst; returns the mutated part tree
+    and ledger deltas."""
+    (part_tree, vsc, n_moves, can_change_root, mu, nu, q, pi, seed) = payload
+    os.environ.setdefault("DELPHY_TPU_FORCE_CPU", "1")
+    from .mixer import TopologyMixer
+
+    rng = np.random.default_rng(seed)
+    T = part_tree.num_tips
+    t_max_tip = float(np.max(part_tree.t_max[:T]))
+    mixer = TopologyMixer(part_tree, rng, can_change_root=can_change_root)
+    mixer.run_burst(n_moves, mu, nu, q, pi, None, t_max_tip, coal=vsc)
+    return (part_tree, mixer.delta_log_G, mixer.n_accepted, mixer.n_proposed)
+
+
+def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
+                           mu, nu, q, pi, host_rng, num_cells: int = 400,
+                           parallel: bool = True):
+    """Partition -> per-part bursts (optionally in parallel processes) ->
+    reassemble.  Returns (delta_log_G, n_accepted, n_proposed)."""
+    from ..phylo import rereference_to_root_sequence
+    from .partition import (generate_random_partition_stencil, partition_tree,
+                            reassemble)
+    from .vsc import make_vsc_parts
+
+    rereference_to_root_sequence(tree)
+    stencil = generate_random_partition_stencil(tree, num_parts, host_rng)
+    parts = partition_tree(tree, stencil)
+    rngs = [np.random.default_rng(host_rng.integers(2 ** 63)) for _ in parts]
+
+    t_root = float(tree.t[tree.root])
+    t_max = float(np.max(tree.t_max[:tree.num_tips]))
+    t_step = max((t_max - t_root), 1.0) * 1.35 / num_cells
+    vscs = make_vsc_parts(parts, host_pop, rngs, t_step)
+
+    sizes = np.array([p.tree.num_nodes for p in parts], dtype=np.float64)
+    alloc = host_rng.multinomial(n_moves, sizes / sizes.sum())
+
+    payloads = []
+    for p, vsc, prng, k in zip(parts, vscs, rngs, alloc):
+        if k == 0 or p.tree.num_nodes < 5:
+            continue
+        payloads.append((p, (p.tree, vsc, int(k), p.includes_root,
+                             mu, nu, q, pi, int(prng.integers(2 ** 63)))))
+
+    delta_log_G, n_acc, n_prop = 0.0, 0, 0
+    if parallel and len(payloads) > 1:
+        pool = _get_pool(min(len(payloads), os.cpu_count() or 4))
+        results = pool.map(run_part_burst, [pl for (_, pl) in payloads])
+    else:
+        results = [run_part_burst(pl) for (_, pl) in payloads]
+
+    for (p, _), (new_tree, dlg, acc, prop) in zip(payloads, results):
+        p.tree = new_tree  # workers return a copy (pickled round trip)
+        delta_log_G += dlg
+        n_acc += acc
+        n_prop += prop
+
+    reassemble(tree, parts)
+    return delta_log_G, n_acc, n_prop
