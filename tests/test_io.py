@@ -167,3 +167,34 @@ def test_beast_xml_export(tmp_path):
     assert len(seqs[0].get("value")) == 60
     ops = root.find("run").findall("operator")
     assert len(ops) >= 10
+
+
+def test_cli_skygrid_snapshot(tmp_path):
+    ref, deltas, miss, dates, names, _ = simulate_dataset(8, 100, mu=2e-3, seed=6)
+    from delphy_tpu.io.fasta import TipData
+    from delphy_tpu.io.maple import write_maple
+    from delphy_tpu.dates import to_iso_date
+    tips = [TipData(name=f"s{i}|{to_iso_date(dates[i][0])}", t_min=dates[i][0],
+                    t_max=dates[i][1], deltas=deltas[i], miss_intervals=miss[i])
+            for i in range(8)]
+    mp = tmp_path / "in.maple"
+    write_maple(mp, "ref", ref, tips)
+    snap = tmp_path / "snap.npz"
+    mcc = tmp_path / "mcc.nexus"
+    env = dict(os.environ)
+    env["DELPHY_TPU_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "delphy_tpu.cli",
+         "--v0-in-maple", str(mp), "--v0-steps", "3000",
+         "--v0-pop-model", "skygrid", "--v0-skygrid-num-parameters", "6",
+         "--v0-out-delphy-file", str(snap), "--v0-out-mcc-file", str(mcc),
+         "--v0-tree-every", "300", "--v0-seed", "5"],
+        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert snap.exists()
+    assert mcc.exists() and "tree MCC =" in mcc.read_text()
+    # resume from snapshot
+    from delphy_tpu.io.snapshot import load_run
+    run2 = load_run(snap)
+    assert run2.step > 0
+    run2.do_mcmc_steps(300)
