@@ -44,8 +44,12 @@ def main():
     dt = time.time() - t0
 
     mus, kappas, troots = map(np.asarray, (mus, kappas, troots))
+    from delphy_tpu.ess import ess
     print(f"samples: {n_samples} (thin {thin}) in {dt:.0f}s; "
           f"topo acc {run.topology_accepted}/{run.topology_proposed}")
+    print(f"ESS: mu {ess(mus):.0f}, kappa {ess(kappas):.0f}, "
+          f"t_root {ess(troots):.0f} (of {n_samples}); "
+          f"ESS/hour(t_root) ~ {ess(troots) / (dt / 3600.0):.0f}")
     print(f"clock rate: true {mu_true * 365:.4f}/yr | "
           f"posterior {mus.mean() * 365:.4f} +- {mus.std() * 365:.4f}")
     print(f"kappa:      true {truth['kappa']:.2f}   | "

@@ -153,3 +153,17 @@ def test_mcc_from_trees_tool(tmp_path):
     text = mcc_f.read_text()
     assert "tree MCC =" in text
     assert np.all(mcc.posterior_support > 0)
+
+
+def test_ess():
+    from delphy_tpu.ess import ess
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=2000)
+    e = ess(iid)
+    assert 1200 < e <= 2000
+    # AR(1) with strong correlation has much lower ESS
+    x = np.zeros(2000)
+    for i in range(1, 2000):
+        x[i] = 0.95 * x[i - 1] + rng.normal()
+    e2 = ess(x)
+    assert e2 < 300
