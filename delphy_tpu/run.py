@@ -145,7 +145,8 @@ class Run:
             return self.topology_partitions
         import os
         T = self.ts.num_tips
-        return max(1, min(os.cpu_count() or 1, T // 16))
+        # more parts than workers improves load balance across the pool
+        return max(1, min(2 * (os.cpu_count() or 1), T // 10))
 
     def _topology_burst(self, n_moves: int):
         from .topo import TopologyMixer

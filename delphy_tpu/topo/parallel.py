@@ -17,6 +17,15 @@ import numpy as np
 _POOL = None
 
 
+def _pool_usable() -> bool:
+    """Spawned workers re-import __main__; interactive/stdin parents can't be
+    re-imported, so fall back to serial execution there."""
+    import sys
+    main = sys.modules.get("__main__")
+    f = getattr(main, "__file__", None)
+    return bool(f) and os.path.exists(f)
+
+
 def _get_pool(n_workers: int):
     global _POOL
     if _POOL is None or _POOL._processes < n_workers:
@@ -74,9 +83,12 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
                              mu, nu, q, pi, int(prng.integers(2 ** 63)))))
 
     delta_log_G, n_acc, n_prop = 0.0, 0, 0
-    if parallel and len(payloads) > 1:
-        pool = _get_pool(min(len(payloads), os.cpu_count() or 4))
-        results = pool.map(run_part_burst, [pl for (_, pl) in payloads])
+    if parallel and len(payloads) > 1 and _pool_usable():
+        try:
+            pool = _get_pool(min(len(payloads), os.cpu_count() or 4))
+            results = pool.map(run_part_burst, [pl for (_, pl) in payloads])
+        except Exception:
+            results = [run_part_burst(pl) for (_, pl) in payloads]
     else:
         results = [run_part_burst(pl) for (_, pl) in payloads]
 
