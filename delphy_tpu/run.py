@@ -54,6 +54,10 @@ class Run:
         self.topology_moves_enabled = topology_moves_enabled
         self.topology_partitions = topology_partitions
         self.topology_parallel_processes = topology_parallel_processes
+        # amortize per-burst fixed costs (partitioning, transfers, pack/unpack)
+        # by accumulating the topology-move budget over several boundaries
+        self.topology_burst_chunks = 4
+        self._topo_debt = 0
         self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
         self.topology_accepted = 0
         self.topology_proposed = 0
@@ -133,10 +137,15 @@ class Run:
                 chunk, self.t_max_tip, self.hyp, self.num_cells)
             self.local_moves_attempted += int(self.last_stats["local_moves_attempted"])
             if self.topology_moves_enabled:
-                k = int(self.host_rng.binomial(chunk, 2.0 / 30.0))
-                if k > 0:
-                    self._topology_burst(k)
-                    self.local_moves_attempted += k
+                self._topo_debt += int(self.host_rng.binomial(chunk, 2.0 / 30.0))
+                threshold = max(
+                    32, (self.topology_burst_chunks
+                         * int(self.local_moves_per_global_move * 2.0 / 30.0)))
+                if self._topo_debt >= threshold or done + chunk >= n_steps:
+                    if self._topo_debt > 0:
+                        self._topology_burst(self._topo_debt)
+                        self.local_moves_attempted += self._topo_debt
+                        self._topo_debt = 0
             done += chunk
         self.step += n_steps
 
@@ -152,15 +161,17 @@ class Run:
         from .topo import TopologyMixer
         from .topo.mixer import HostExpPop, HostSkygridPop
         from .phylo import rereference_to_root_sequence
-        tree = unpack_state(self.ts, names=self.names)
+        # one batched device->host transfer for everything the burst needs
+        import jax
+        ts_h, evo_h, pop_h = jax.device_get((self.ts, self.evo, self.pop))
+        tree = unpack_state(ts_h, names=self.names)
         if isinstance(self.pop, popm.SkygridPopParams):
-            host_pop = HostSkygridPop(np.asarray(self.pop.x),
-                                      np.asarray(self.pop.gamma), self.pop.type)
+            host_pop = HostSkygridPop(np.asarray(pop_h.x),
+                                      np.asarray(pop_h.gamma), self.pop.type)
         else:
-            host_pop = HostExpPop(self.pop.t0, self.pop.n0, self.pop.g,
-                                  self.pop.min_pop)
-        mu, nu, q, pi = (float(self.evo.mu), np.asarray(self.evo.nu),
-                         np.asarray(self.evo.q), np.asarray(self.evo.pi))
+            host_pop = HostExpPop(pop_h.t0, pop_h.n0, pop_h.g, pop_h.min_pop)
+        mu, nu, q, pi = (float(evo_h.mu), np.asarray(evo_h.nu),
+                         np.asarray(evo_h.q), np.asarray(evo_h.pi))
 
         P = self._topology_num_parts()
         if P > 1 and n_moves >= 16 * P:
