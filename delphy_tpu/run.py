@@ -56,7 +56,7 @@ class Run:
         self.topology_parallel_processes = topology_parallel_processes
         # amortize per-burst fixed costs (partitioning, transfers, pack/unpack)
         # by accumulating the topology-move budget over several boundaries
-        self.topology_burst_chunks = 4
+        self.topology_burst_chunks = 8
         self._topo_debt = 0
         self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
         self.topology_accepted = 0
