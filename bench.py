@@ -35,7 +35,8 @@ def main():
     run.do_mcmc_steps(1000)
 
     target_seconds = float(os.environ.get("BENCH_SECONDS", "20"))
-    n = 20000
+    # a whole multi-boundary dispatch per iteration (one host sync each)
+    n = run.local_moves_per_global_move * run.topology_burst_chunks
     t0 = time.time()
     base = run.local_moves_attempted
     while time.time() - t0 < target_seconds:

@@ -174,3 +174,30 @@ def super_step(ts: TreeState, evo: EvoParams, pop_params, key,
         ts, caches, grid, ledger, evo, pop_params, key, n_local_moves, t_max_tip)
     stats = dict(stats, local_moves_attempted=count)
     return ts, evo, pop_params, key, ledger, stats
+
+
+@partial(jax.jit, static_argnames=("hyp", "num_cells", "n_boundaries"))
+def multi_super_step(ts: TreeState, evo: EvoParams, pop_params, key,
+                     tin, tout, n_local_moves, t_max_tip,
+                     hyp: PriorConfig, num_cells: int, n_boundaries: int):
+    """n_boundaries super-steps in ONE XLA dispatch (lax.scan over the body).
+
+    Over a tunneled TPU every dispatch pays ~0.3 s of host<->device latency;
+    scanning K boundaries amortizes that K-fold.  The key threading is
+    identical to K sequential `super_step` calls, so the trajectory is
+    bit-identical to the single-dispatch path."""
+    def body(carry, _):
+        ts, evo, pop_params, key = carry
+        ts, evo, pop_params, grid, caches, ledger, key, stats = run_global_moves(
+            ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells)
+        ts, grid, ledger, key, count = run_local_sweep(
+            ts, caches, grid, ledger, evo, pop_params, key, n_local_moves,
+            t_max_tip)
+        return (ts, evo, pop_params, key), (ledger, stats, count)
+
+    (ts, evo, pop_params, key), (ledgers, stats_seq, counts) = jax.lax.scan(
+        body, (ts, evo, pop_params, key), None, length=n_boundaries)
+    ledger = jax.tree.map(lambda x: x[-1], ledgers)
+    stats = jax.tree.map(lambda x: x[-1], stats_seq)
+    stats = dict(stats, local_moves_attempted=counts.sum())
+    return ts, evo, pop_params, key, ledger, stats

@@ -18,7 +18,7 @@ from .evo import make_evo_params, EvoParams
 from . import pop as popm
 from .ops import likelihood as lk
 from .ops import coalescent as coal
-from .mcmc.kernel import super_step
+from .mcmc.kernel import super_step, multi_super_step
 from .mcmc import global_moves as gm
 from .mcmc.global_moves import PriorConfig
 from .mcmc.moves import Ledger
@@ -129,18 +129,29 @@ class Run:
         1+1 of 32) run as host bursts at chunk boundaries — the kernels
         compose in a fixed order, preserving the stationary distribution."""
         done = 0
+        cadence = self.local_moves_per_global_move
+        K = self.topology_burst_chunks
         while done < n_steps:
-            chunk = min(self.local_moves_per_global_move, n_steps - done)
-            (self.ts, self.evo, self.pop, self.key, self.ledger,
-             self.last_stats) = super_step(
-                self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
-                chunk, self.t_max_tip, self.hyp, self.num_cells)
+            remaining = n_steps - done
+            if remaining >= K * cadence:
+                # K boundaries in ONE dispatch: amortizes the per-dispatch
+                # host<->device latency of the tunneled TPU; the trajectory
+                # is identical to K sequential super_steps (same keys)
+                (self.ts, self.evo, self.pop, self.key, self.ledger,
+                 self.last_stats) = multi_super_step(
+                    self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
+                    cadence, self.t_max_tip, self.hyp, self.num_cells, K)
+                chunk = K * cadence
+            else:
+                chunk = min(cadence, remaining)
+                (self.ts, self.evo, self.pop, self.key, self.ledger,
+                 self.last_stats) = super_step(
+                    self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
+                    chunk, self.t_max_tip, self.hyp, self.num_cells)
             self.local_moves_attempted += int(self.last_stats["local_moves_attempted"])
             if self.topology_moves_enabled:
                 self._topo_debt += int(self.host_rng.binomial(chunk, 2.0 / 30.0))
-                threshold = max(
-                    32, (self.topology_burst_chunks
-                         * int(self.local_moves_per_global_move * 2.0 / 30.0)))
+                threshold = max(32, K * int(cadence * 2.0 / 30.0))
                 if self._topo_debt >= threshold or done + chunk >= n_steps:
                     if self._topo_debt > 0:
                         self._topology_burst(self._topo_debt)
