@@ -31,12 +31,11 @@ def main():
                              rng=np.random.default_rng(42))
     run = Run(tree, seed=1, num_cells=400)
 
-    run.do_mcmc_steps(10)  # compile + warm up
-    run.do_mcmc_steps(1000)
-
     target_seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     # a whole multi-boundary dispatch per iteration (one host sync each)
     n = run.local_moves_per_global_move * run.topology_burst_chunks
+    run.do_mcmc_steps(10)  # compile + warm the single-boundary path
+    run.do_mcmc_steps(n)   # compile + warm the multi-boundary path
     t0 = time.time()
     base = run.local_moves_attempted
     while time.time() - t0 < target_seconds:
