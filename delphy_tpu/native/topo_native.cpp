@@ -1045,3 +1045,1308 @@ struct SprContext {
     }
     return g;
   }
+
+  // -- proposal of new graft mutations (graft.py _propose_new_graft_mutations)
+  void propose_new_graft_mutations(Graft& g, Rng& rng) {
+    Tree& t = tree;
+    int32_t X = g.X;
+    double mu_prop = mu_proposal >= 0.0 ? mu_proposal : mu_jc();
+    int32_t L = t.L;
+    for (size_t idx = 0; idx < g.branch_infos.size(); idx++) {
+      BranchInfo& bi = g.branch_infos[idx];
+      if (bi.hot_sites.size(L) == 0) {
+        bi.hot_muts_to_X.clear();
+        continue;
+      }
+      std::vector<Mut> new_muts;
+      if (bi.is_open)
+        new_muts = sample_unconstrained_mutational_history(rng, L, bi.T_to_X,
+                                                           mu_prop);
+      else
+        new_muts = sample_mutational_history(rng, L, bi.T_to_X, mu_prop,
+                                             bi.hot_deltas_to_X);
+      if (!new_muts.empty()) {
+        std::vector<Mut> kept;
+        kept.reserve(new_muts.size());
+        for (const Mut& m : new_muts) {
+          if (!bi.hot_sites.contains(m.site)) continue;
+          if (!g.rooty && bi.B == X) {
+            // hot sites at the P->X level may include sites actually missing
+            // at X via far-upstream missations
+            if (!bi.hot_deltas_to_X.count(m.site) &&
+                is_site_missing_at(X, m.site))
+              continue;
+          }
+          kept.push_back(m);
+        }
+        new_muts = std::move(kept);
+        int32_t end_branch;
+        double end_t;
+        if (g.rooty && idx == 1 /*K_BRANCH_INFO_P_S*/) {
+          end_branch = g.S;
+          end_t = t.nodes[g.S].t;
+        } else {
+          end_branch = X;
+          end_t = t.nodes[X].t;
+        }
+        adjust_mutational_history(new_muts, bi.hot_deltas_to_X, t, end_branch,
+                                  end_t);
+      }
+      bi.hot_muts_to_X = std::move(new_muts);
+      if (bi.is_open) {
+        bi.partial_lambda_at_A = bi.partial_lambda_at_X;
+        for (auto it = bi.hot_muts_to_X.rbegin(); it != bi.hot_muts_to_X.rend();
+             ++it)
+          bi.partial_lambda_at_A +=
+              mu * nu[it->site] * (q_a[it->from] - q_a[it->to]);
+      }
+    }
+  }
+
+  // -- finish: delta_log_G + log_alpha_mut (graft.py _finish_graft_analysis)
+  void finish_graft_analysis(Graft& g) {
+    Tree& t = tree;
+    int32_t X = g.X;
+    double t_X = t.nodes[X].t;
+    double mu_prop = mu_proposal >= 0.0 ? mu_proposal : mu_jc();
+    g.delta_log_G = 0.0;
+    if (g.rooty) {
+      int32_t P = t.nodes[X].parent;
+      int32_t S = t.sibling(P, X);
+      double t_P = t.nodes[P].t, t_S = t.nodes[S].t;
+      BranchInfo& px = g.branch_infos[0];
+      BranchInfo& ps = g.branch_infos[1];
+      BranchInfo& spx = g.branch_infos[2];
+      g.delta_log_G +=
+          branch_log_G(t_P, t_X, px.partial_lambda_at_X, px.hot_muts_to_X);
+      g.delta_log_G +=
+          branch_log_G(t_P, t_S, ps.partial_lambda_at_X, ps.hot_muts_to_X);
+      std::vector<Mut> spx_ps, spx_px;
+      for (auto it = spx.hot_muts_to_X.rbegin(); it != spx.hot_muts_to_X.rend();
+           ++it)
+        if (it->t < t_P)
+          spx_ps.push_back(Mut{it->site, it->to, it->from, t_P + (t_P - it->t)});
+      for (const Mut& m : spx.hot_muts_to_X)
+        if (m.t >= t_P) spx_px.push_back(m);
+      g.delta_log_G +=
+          branch_log_G(t_P, t_X, spx.partial_lambda_at_X, spx_px);
+      g.delta_log_G +=
+          branch_log_G(t_P, t_S, spx.partial_lambda_at_A, spx_ps);
+      for (const Mut& m : px.hot_muts_to_X)
+        g.delta_log_G += std::log(pi[m.from] / pi[m.to]);
+      for (const Mut& m : ps.hot_muts_to_X)
+        g.delta_log_G += std::log(pi[m.from] / pi[m.to]);
+      for (const Mut& m : spx_ps)
+        g.delta_log_G += std::log(pi[m.from] / pi[m.to]);
+    } else {
+      for (BranchInfo& bi : g.branch_infos)
+        g.delta_log_G += branch_log_G(t_X - bi.T_to_X, t_X,
+                                      bi.partial_lambda_at_X, bi.hot_muts_to_X);
+      if (g.branch_infos.back().is_open)
+        for (const Mut& m : g.branch_infos.back().hot_muts_to_X)
+          g.delta_log_G += std::log(pi[m.from] / pi[m.to]);
+    }
+
+    g.log_alpha_mut = 0.0;
+    for (BranchInfo& bi : g.branch_infos) {
+      int64_t Lh = bi.hot_sites.size(t.L);
+      if (!g.rooty && bi.B == X)
+        Lh = ((int64_t)t.L - num_missing_at(X)) -
+             (bi.warm_sites.size(t.L) - bi.hot_sites.size(t.L));
+      double T = bi.T_to_X;
+      int64_t M = (int64_t)bi.hot_muts_to_X.size();
+      g.log_alpha_mut +=
+          -mu_prop * (double)Lh * T + (double)M * std::log(mu_prop / 3.0);
+      if (!bi.is_open) {
+        int64_t d = (int64_t)bi.hot_deltas_to_X.size();
+        double P_AC = -0.25 * std::expm1(-4.0 / 3.0 * mu_prop * T);
+        g.log_alpha_mut -= ((double)(Lh - d) * std::log1p(-3.0 * P_AC) +
+                            (double)d * std::log(P_AC));
+      }
+    }
+  }
+
+  // ---- peel / apply (graft.py) -------------------------------------------
+
+  Deltas root_deltas() const {
+    Deltas out;
+    for (const Mut& m : tree.nodes[tree.root].muts)
+      push_back_d(out, m.site, m.from, m.to);
+    return out;
+  }
+
+  void set_root_deltas(const Deltas& deltas) {
+    std::vector<Mut>& rm = tree.nodes[tree.root].muts;
+    rm.clear();
+    for (const auto& kv : deltas)
+      rm.push_back(Mut{kv.first, kv.second.from, kv.second.to, ROOT_DELTA_T});
+    std::sort(rm.begin(), rm.end(),
+              [](const Mut& a, const Mut& b) { return a.site < b.site; });
+  }
+
+  void peel_graft(Graft& g) { g.rooty ? peel_rooty(g) : peel_inner(g); }
+  void apply_graft(Graft& g) { g.rooty ? apply_rooty(g) : apply_inner(g); }
+
+  void peel_rooty(Graft& g) {
+    Tree& t = tree;
+    int32_t X = g.X;
+    int32_t P = t.nodes[X].parent;
+    int32_t S = t.sibling(P, X);
+    double t_X = t.nodes[X].t, t_P = t.nodes[P].t;
+    BranchInfo& px = g.branch_infos[0];
+    BranchInfo& ps = g.branch_infos[1];
+    BranchInfo& spx = g.branch_infos[2];
+
+    Deltas ref_to_root = root_deltas();
+
+    for (const Mut& m : t.nodes[X].muts) {
+      if (px.hot_sites.contains(m.site)) {
+        push_back_d(ref_to_root, m.site, m.from, m.to);
+        set_from_state(t, S, m.site, m.to);
+      }
+    }
+    for (const Mut& m : t.nodes[S].muts) {
+      if (ps.hot_sites.contains(m.site)) {
+        push_back_d(ref_to_root, m.site, m.from, m.to);
+        set_from_state(t, X, m.site, m.to);
+      }
+    }
+    for (const Mut& m : t.nodes[S].muts) {
+      if (spx.hot_sites.contains(m.site))
+        push_back_d(ref_to_root, m.site, m.from, m.to);
+    }
+    t.nodes[X].muts.clear();
+    t.nodes[S].muts.clear();
+
+    double t_mid = 0.5 * (t_P + t_X);
+    std::vector<std::pair<int32_t, FT>> sorted_deltas(
+        spx.hot_deltas_to_X.begin(), spx.hot_deltas_to_X.end());
+    std::sort(sorted_deltas.begin(), sorted_deltas.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (const auto& kv : sorted_deltas)
+      t.nodes[X].muts.push_back(
+          Mut{kv.first, kv.second.from, kv.second.to, t_mid});
+    set_root_deltas(ref_to_root);
+  }
+
+  void apply_rooty(Graft& g) {
+    Tree& t = tree;
+    int32_t X = g.X;
+    int32_t P = t.nodes[X].parent;
+    int32_t S = t.sibling(P, X);
+    double t_X = t.nodes[X].t, t_P = t.nodes[P].t, t_S = t.nodes[S].t;
+    BranchInfo& px = g.branch_infos[0];
+    BranchInfo& ps = g.branch_infos[1];
+    BranchInfo& spx = g.branch_infos[2];
+
+    t.nodes[X].muts.clear();
+    Deltas ref_to_root = root_deltas();
+
+    for (auto it = px.hot_muts_to_X.rbegin(); it != px.hot_muts_to_X.rend();
+         ++it) {
+      t.nodes[X].muts.push_back(*it);
+      push_back_d(ref_to_root, it->site, it->to, it->from);
+      set_from_state(t, S, it->site, it->from);
+    }
+    for (auto it = ps.hot_muts_to_X.rbegin(); it != ps.hot_muts_to_X.rend();
+         ++it) {
+      t.nodes[S].muts.push_back(*it);
+      push_back_d(ref_to_root, it->site, it->to, it->from);
+      set_from_state(t, X, it->site, it->from);
+    }
+    for (const Mut& m : spx.hot_muts_to_X) {
+      if (m.t > t_P) {
+        t.nodes[X].muts.push_back(m);
+      } else {
+        t.nodes[S].muts.push_back(Mut{m.site, m.to, m.from, t_P + (t_P - m.t)});
+        push_back_d(ref_to_root, m.site, m.from, m.to);
+      }
+    }
+
+    std::sort(t.nodes[X].muts.begin(), t.nodes[X].muts.end(), mut_less);
+    std::sort(t.nodes[S].muts.begin(), t.nodes[S].muts.end(), mut_less);
+    clamp_times(t.nodes[X].muts, t_P, t_X);
+    clamp_times(t.nodes[S].muts, t_P, t_S);
+    set_root_deltas(ref_to_root);
+  }
+
+  void peel_inner(Graft& g) {
+    Tree& t = tree;
+    int32_t X = g.X;
+    int32_t P = t.nodes[X].parent;
+    double t_X = t.nodes[X].t, t_P = t.nodes[P].t;
+    BranchInfo& final_bi = g.branch_infos.back();
+
+    Deltas ref_to_root = final_bi.is_open ? root_deltas() : Deltas{};
+
+    for (BranchInfo& bi : g.branch_infos) {
+      if (bi.B == t.root) continue;
+      if (bi.B == X && !final_bi.is_open) {
+        t.nodes[X].muts.clear();
+        continue;
+      }
+      std::vector<Mut> keep;
+      auto& bmuts = t.nodes[bi.B].muts;
+      for (auto it = bmuts.rbegin(); it != bmuts.rend(); ++it) {
+        const Mut& m = *it;
+        if (bi.warm_sites.contains(m.site) &&
+            !(final_bi.is_open && final_bi.hot_sites.contains(m.site))) {
+          // slide downstream to the P-X branch, adjusting the from_state of
+          // every sibling missation along the way
+          int32_t cur = X;
+          while (cur != bi.B) {
+            int32_t parent = t.nodes[cur].parent;
+            int32_t sib = t.sibling(parent, cur);
+            set_from_state(t, sib, m.site, m.from);
+            cur = parent;
+          }
+        } else {
+          keep.push_back(m);
+        }
+      }
+      std::reverse(keep.begin(), keep.end());
+      bmuts = std::move(keep);
+    }
+
+    if (final_bi.is_open) {
+      for (auto bit = g.branch_infos.rbegin(); bit != g.branch_infos.rend();
+           ++bit) {
+        BranchInfo& bi = *bit;
+        if (bi.B == t.root) continue;
+        std::vector<Mut> keep;
+        for (const Mut& m : t.nodes[bi.B].muts) {
+          if (final_bi.hot_sites.contains(m.site)) {
+            // slide upstream past the root
+            int32_t cur = bi.B;
+            while (cur != t.root) {
+              int32_t parent = t.nodes[cur].parent;
+              int32_t sib = t.sibling(parent, cur);
+              set_from_state(t, sib, m.site, m.to);
+              cur = parent;
+            }
+            push_back_d(ref_to_root, m.site, m.from, m.to);
+          } else {
+            keep.push_back(m);
+          }
+        }
+        t.nodes[bi.B].muts = std::move(keep);
+      }
+    }
+
+    double t_mid = 0.5 * (t_P + t_X);
+    for (BranchInfo& bi : g.branch_infos) {
+      if (bi.B == t.root) continue;
+      std::vector<std::pair<int32_t, FT>> sd(bi.hot_deltas_to_X.begin(),
+                                             bi.hot_deltas_to_X.end());
+      std::sort(sd.begin(), sd.end(),
+                [](const auto& a, const auto& b) { return a.first < b.first; });
+      for (const auto& kv : sd)
+        t.nodes[X].muts.push_back(
+            Mut{kv.first, kv.second.from, kv.second.to, t_mid});
+    }
+    std::sort(t.nodes[X].muts.begin(), t.nodes[X].muts.end(), mut_less);
+
+    if (final_bi.is_open) set_root_deltas(ref_to_root);
+  }
+
+  void apply_inner(Graft& g) {
+    Tree& t = tree;
+    int32_t X = g.X;
+    BranchInfo& final_bi = g.branch_infos.back();
+    t.nodes[X].muts.clear();
+
+    Deltas ref_to_root = final_bi.is_open ? root_deltas() : Deltas{};
+
+    for (BranchInfo& bi : g.branch_infos) {
+      if (bi.B == X) {
+        t.nodes[X].muts = bi.hot_muts_to_X;
+      } else if (!bi.is_open) {
+        for (const Mut& m : bi.hot_muts_to_X) {
+          int32_t cur = X;
+          while (cur != bi.A) {
+            int32_t parent = t.nodes[cur].parent;
+            if (t.nodes[parent].t <= m.t && m.t < t.nodes[cur].t) {
+              t.nodes[cur].muts.push_back(m);
+              break;
+            }
+            int32_t sib = t.sibling(parent, cur);
+            set_from_state(t, sib, m.site, m.to);
+            cur = parent;
+          }
+        }
+      } else {
+        for (auto it = bi.hot_muts_to_X.rbegin(); it != bi.hot_muts_to_X.rend();
+             ++it) {
+          const Mut& m = *it;
+          int32_t cur = X;
+          while (cur != t.root) {
+            int32_t parent = t.nodes[cur].parent;
+            if (t.nodes[parent].t <= m.t && m.t < t.nodes[cur].t)
+              t.nodes[cur].muts.push_back(m);
+            if (t.nodes[parent].t <= m.t) {
+              int32_t sib = t.sibling(parent, cur);
+              set_from_state(t, sib, m.site, m.from);
+            }
+            cur = parent;
+          }
+          push_back_d(ref_to_root, m.site, m.to, m.from);
+        }
+      }
+    }
+
+    for (BranchInfo& bi : g.branch_infos) {
+      if (!bi.is_open && bi.B != t.root) {
+        double t_A = t.nodes[bi.A].t, t_B = t.nodes[bi.B].t;
+        std::sort(t.nodes[bi.B].muts.begin(), t.nodes[bi.B].muts.end(),
+                  mut_less);
+        clamp_times(t.nodes[bi.B].muts, t_A, t_B);
+      }
+    }
+
+    if (final_bi.is_open) set_root_deltas(ref_to_root);
+  }
+
+  // ---- the prune-regraft move (graft.py SprContext.move) ------------------
+
+  void move(int32_t X, int32_t SS, double new_t_P) {
+    Tree& t = tree;
+    int32_t P = t.nodes[X].parent;
+    int32_t S = t.sibling(P, X);
+    if (SS == P) SS = S;
+
+    // 1. strip X's branch mutations into the running nexus->X deltas
+    Deltas deltas_nexus_to_X;
+    for (const Mut& m : t.nodes[X].muts)
+      push_back_d(deltas_nexus_to_X, m.site, m.from, m.to);
+    t.nodes[X].muts.clear();
+    double old_t_P = t.nodes[P].t;
+
+    // 2. detach: X inherits every missation at or above its old position
+    Sites miss_X = t.nodes[X].miss;
+    {
+      int32_t cur = P;
+      while (cur != NO_NODE) {
+        for (int32_t l : t.nodes[cur].miss) {
+          if (!sites_contains(miss_X, l)) {
+            sites_insert(miss_X, l);
+            set_from_state(t, X, l, get_from_state(t, cur, l));
+          }
+        }
+        cur = t.nodes[cur].parent;
+      }
+    }
+    t.nodes[X].miss = miss_X;
+
+    int32_t G = t.nodes[P].parent;
+    if (G != NO_NODE) {
+      if (t.nodes[G].c0 == P)
+        t.nodes[G].c0 = S;
+      else
+        t.nodes[G].c1 = S;
+      t.nodes[S].parent = G;
+      // prepend P's mutations to S's
+      std::vector<Mut> merged = t.nodes[P].muts;
+      merged.insert(merged.end(), t.nodes[S].muts.begin(),
+                    t.nodes[S].muts.end());
+      t.nodes[S].muts = std::move(merged);
+      t.nodes[P].muts.clear();
+    } else {
+      // P was the root: S becomes the root, carrying the root deltas
+      t.nodes[S].parent = NO_NODE;
+      std::vector<Mut> merged = t.nodes[P].muts;
+      merged.insert(merged.end(), t.nodes[S].muts.begin(),
+                    t.nodes[S].muts.end());
+      t.nodes[S].muts = std::move(merged);
+      t.nodes[P].muts.clear();
+      t.root = S;
+    }
+    // merge missations onto the merged branch (disjoint site sets)
+    t.nodes[S].miss = sites_union(t.nodes[P].miss, t.nodes[S].miss);
+    for (const auto& kv : t.nodes[P].fs) t.nodes[S].fs[kv.first] = kv.second;
+    t.nodes[P].miss.clear();
+    t.nodes[P].fs.clear();
+    t.nodes[P].parent = NO_NODE;
+    t.nodes[P].c0 = NO_NODE;
+    t.nodes[P].c1 = NO_NODE;
+
+    // normalization cascade: factor missations common to both children up
+    // through the old junction's ancestors
+    {
+      int32_t cur = G;
+      while (cur != NO_NODE) {
+        int32_t c0 = t.nodes[cur].c0, c1 = t.nodes[cur].c1;
+        Sites common = sites_intersect(t.nodes[c0].miss, t.nodes[c1].miss);
+        if (common.empty()) break;
+        for (int32_t l : common) {
+          int8_t fs = get_from_state(t, c0, l);
+          set_from_state(t, cur, l, fs);
+          t.nodes[c0].fs.erase(l);
+          t.nodes[c1].fs.erase(l);
+        }
+        t.nodes[c0].miss = sites_minus(t.nodes[c0].miss, common);
+        t.nodes[c1].miss = sites_minus(t.nodes[c1].miss, common);
+        t.nodes[cur].miss = sites_union(t.nodes[cur].miss, common);
+        cur = t.nodes[cur].parent;
+      }
+    }
+
+    // 3. recompose the nexus deltas through the pruned tree
+    Deltas d_new_to_old = deltas_between(t, SS, new_t_P, S, old_t_P);
+    miss_X = t.nodes[X].miss;
+    for (auto it = d_new_to_old.begin(); it != d_new_to_old.end();) {
+      if (sites_contains(miss_X, it->first)) {
+        // crossings at sites missing at X update miss(X)'s from_states
+        set_from_state(t, X, it->first, it->second.from);
+        it = d_new_to_old.erase(it);
+      } else {
+        ++it;
+      }
+    }
+    Deltas new_deltas = compose_d(d_new_to_old, deltas_nexus_to_X);
+
+    // 4. attach: split branch GG->SS at new_t_P
+    int32_t GG = t.nodes[SS].parent;
+
+    miss_X = t.nodes[X].miss;
+
+    // Un-factor missations above the attach point that X's data invalidates
+    std::vector<int32_t> path_up{SS};
+    {
+      int32_t cur = GG;
+      while (cur != NO_NODE) {
+        path_up.push_back(cur);
+        cur = t.nodes[cur].parent;
+      }
+    }
+    for (size_t wi = 1; wi < path_up.size(); wi++) {
+      int32_t W = path_up[wi];
+      Sites need = sites_minus(t.nodes[W].miss, miss_X);
+      if (need.empty()) continue;
+      for (int32_t l : need) {
+        int8_t fs = get_from_state(t, W, l);
+        t.nodes[W].fs.erase(l);
+        for (size_t di = wi; di > 0; di--) {
+          int32_t d = path_up[di];
+          int32_t on_path = path_up[di - 1];
+          int32_t other = t.sibling(d, on_path);
+          sites_insert(t.nodes[other].miss, l);
+          set_from_state(t, other, l, fs);
+        }
+        sites_insert(t.nodes[SS].miss, l);
+        set_from_state(t, SS, l, fs);
+      }
+      t.nodes[W].miss = sites_minus(t.nodes[W].miss, need);
+    }
+
+    // drop miss(X) entries already covered by missations above the new
+    // position (nested missations are forbidden)
+    {
+      Sites covered;
+      int32_t cur = GG;
+      while (cur != NO_NODE) {
+        covered = sites_union(covered, t.nodes[cur].miss);
+        cur = t.nodes[cur].parent;
+      }
+      Sites overlap = sites_intersect(covered, miss_X);
+      if (!overlap.empty()) {
+        for (int32_t l : overlap) t.nodes[X].fs.erase(l);
+        t.nodes[X].miss = sites_minus(miss_X, overlap);
+        miss_X = t.nodes[X].miss;
+      }
+    }
+
+    t.nodes[P].c0 = std::min(X, SS);
+    t.nodes[P].c1 = std::max(X, SS);
+    t.nodes[X].parent = P;
+    t.nodes[SS].parent = P;
+    t.nodes[P].t = new_t_P;
+    if (GG != NO_NODE) {
+      if (t.nodes[GG].c0 == SS)
+        t.nodes[GG].c0 = P;
+      else
+        t.nodes[GG].c1 = P;
+      t.nodes[P].parent = GG;
+      std::vector<Mut> upper, lower;
+      for (const Mut& m : t.nodes[SS].muts)
+        (m.t <= new_t_P ? upper : lower).push_back(m);
+      t.nodes[P].muts = std::move(upper);
+      t.nodes[SS].muts = std::move(lower);
+    } else {
+      // attaching above the old root: P becomes the new root
+      t.nodes[P].parent = NO_NODE;
+      t.nodes[P].muts = std::move(t.nodes[SS].muts);
+      t.nodes[SS].muts.clear();
+      t.root = P;
+    }
+
+    // factor missations common to the new siblings up onto P's branch
+    {
+      Sites miss_SS = t.nodes[SS].miss;
+      Sites common = sites_intersect(miss_X, miss_SS);
+      if (!common.empty()) {
+        for (int32_t l : common) {
+          int8_t fs = get_from_state(t, X, l);
+          set_from_state(t, P, l, fs);
+          t.nodes[X].fs.erase(l);
+          t.nodes[SS].fs.erase(l);
+        }
+        t.nodes[X].miss = sites_minus(miss_X, common);
+        t.nodes[SS].miss = sites_minus(miss_SS, common);
+        t.nodes[P].miss = sites_union(t.nodes[P].miss, common);
+      }
+    }
+
+    // 5. synthesize mid-branch mutations
+    double t_X = t.nodes[X].t;
+    double t_mid = 0.5 * (new_t_P + t_X);
+    std::vector<std::pair<int32_t, FT>> nd(new_deltas.begin(),
+                                           new_deltas.end());
+    std::sort(nd.begin(), nd.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    t.nodes[X].muts.clear();
+    for (const auto& kv : nd)
+      t.nodes[X].muts.push_back(
+          Mut{kv.first, kv.second.from, kv.second.to, t_mid});
+  }
+};
+
+// ---- SPR study (study.py) -------------------------------------------------
+
+struct CandidateRegion {
+  int32_t branch;
+  int32_t mut_idx;
+  double t_min, t_max;
+  int32_t min_muts;
+  double log_W_over_Wmax = 0.0;
+  double W_over_Wmax = 0.0;
+  bool is_above_root() const { return t_min == NEG_BIG; }
+};
+
+struct SprStudyBuilder {
+  const Tree& tree;
+  int32_t X;
+  double t_X;
+  const Sites& missing_at_X;
+  int64_t max_muts_from_start;
+  int32_t cur_branch = NO_NODE;
+  int32_t cur_mut_idx = -1;
+  int64_t cur_muts_from_start = 0;
+  Deltas cur_to_X_deltas;
+  // work item: (branch, mut_idx, is_backtracking)
+  std::vector<std::tuple<int32_t, int32_t, bool>> work_stack;
+  std::vector<CandidateRegion> result;
+
+  SprStudyBuilder(const Tree& t, int32_t X_, double t_X_, const Sites& miss,
+                  int64_t limit)
+      : tree(t), X(X_), t_X(t_X_), missing_at_X(miss),
+        max_muts_from_start(limit) {}
+
+  double region_t_min(int32_t branch, int32_t mut_idx) const {
+    if (branch == tree.root) return NEG_BIG;
+    const auto& muts = tree.nodes[branch].muts;
+    if (mut_idx == 0) return tree.nodes[tree.nodes[branch].parent].t;
+    return muts[mut_idx - 1].t;
+  }
+
+  void pop_front_m(const Mut& m) {
+    // path previously started just above m; now it starts just below m
+    auto it = cur_to_X_deltas.find(m.site);
+    if (it != cur_to_X_deltas.end()) {
+      if (it->second.from != m.from) throw DeltaChainBroken();
+      if (m.to == it->second.to)
+        cur_to_X_deltas.erase(it);
+      else
+        it->second.from = m.to;
+    } else {
+      cur_to_X_deltas.emplace(m.site, FT{m.to, m.from});
+    }
+  }
+
+  void move_to_neighbor(int32_t tb, int32_t ti, bool is_backtracking) {
+    if (cur_branch != NO_NODE && tb == cur_branch) {
+      const auto& muts = tree.nodes[cur_branch].muts;
+      if (ti == cur_mut_idx + 1) {  // moving down past cur
+        const Mut& m = muts[cur_mut_idx];
+        if (!sites_contains(missing_at_X, m.site)) {
+          pop_front_m(m);
+          cur_muts_from_start += is_backtracking ? -1 : 1;
+        }
+      } else {  // ti == cur_mut_idx - 1: moving up past target
+        const Mut& m = muts[ti];
+        if (!sites_contains(missing_at_X, m.site)) {
+          push_front_d(cur_to_X_deltas, m.site, m.from, m.to);
+          cur_muts_from_start += is_backtracking ? -1 : 1;
+        }
+      }
+    }
+    cur_branch = tb;
+    cur_mut_idx = ti;
+  }
+
+  void visit_cur_region() {
+    int32_t b = cur_branch, mi = cur_mut_idx;
+    const auto& muts = tree.nodes[b].muts;
+    double t_min, t_max;
+    if (b == tree.root)
+      t_min = NEG_BIG;
+    else if (mi == 0)
+      t_min = tree.nodes[tree.nodes[b].parent].t;
+    else
+      t_min = muts[mi - 1].t;
+    if (b == tree.root)
+      t_max = tree.nodes[b].t;
+    else if (mi == (int32_t)muts.size())
+      t_max = tree.nodes[b].t;
+    else
+      t_max = muts[mi].t;
+    result.push_back(CandidateRegion{b, mi, t_min, t_max,
+                                     (int32_t)cur_to_X_deltas.size()});
+  }
+
+  void seed_neighbors_except(int32_t old_branch, int32_t old_mut_idx) {
+    int32_t cb = cur_branch, ci = cur_mut_idx;
+    if (cb != tree.root) {
+      if (ci > 0) {
+        if (!(cb == old_branch && ci - 1 == old_mut_idx)) {
+          work_stack.emplace_back(cb, ci, true);
+          work_stack.emplace_back(cb, ci - 1, false);
+        }
+      } else {
+        int32_t pb = tree.nodes[cb].parent;
+        int32_t ni = (int32_t)tree.nodes[pb].muts.size();
+        if (!(pb == old_branch && ni == old_mut_idx)) {
+          work_stack.emplace_back(cb, ci, true);
+          work_stack.emplace_back(pb, ni, false);
+        }
+      }
+    }
+    if (ci < (int32_t)tree.nodes[cb].muts.size()) {
+      if (!(cb == old_branch && ci + 1 == old_mut_idx)) {
+        work_stack.emplace_back(cb, ci, true);
+        work_stack.emplace_back(cb, ci + 1, false);
+      }
+    } else {
+      for (int32_t child : {tree.nodes[cb].c0, tree.nodes[cb].c1}) {
+        if (child != NO_NODE) {
+          if (!(child == old_branch && 0 == old_mut_idx)) {
+            work_stack.emplace_back(cb, ci, true);
+            work_stack.emplace_back(child, 0, false);
+          }
+        }
+      }
+    }
+  }
+
+  bool cur_region_in_scope() const {
+    return cur_branch != X && cur_muts_from_start <= max_muts_from_start;
+  }
+
+  void do_pending_work() {
+    while (!work_stack.empty()) {
+      auto [tb, ti, back] = work_stack.back();
+      work_stack.pop_back();
+      int32_t old_branch = cur_branch, old_idx = cur_mut_idx;
+      move_to_neighbor(tb, ti, back);
+      if (!back && cur_region_in_scope()) {
+        visit_cur_region();
+        seed_neighbors_except(old_branch, old_idx);
+      }
+    }
+  }
+
+  void seed_fill_from(int32_t init_branch, int32_t init_mut_idx,
+                      const Deltas& init_to_X_deltas, bool can_change_root) {
+    cur_to_X_deltas = init_to_X_deltas;
+    work_stack.emplace_back(cur_branch, cur_mut_idx, true);
+    work_stack.emplace_back(init_branch, init_mut_idx, false);
+    do_pending_work();
+    account_for_Xs_detachment(can_change_root);
+    remove_regions_in_Xs_future();
+  }
+
+  void account_for_Xs_detachment(bool can_change_root) {
+    const Tree& t = tree;
+    if (X == NO_NODE) {
+      if (!can_change_root) {
+        result.erase(std::remove_if(result.begin(), result.end(),
+                                    [&](const CandidateRegion& r) {
+                                      return r.branch == t.root;
+                                    }),
+                     result.end());
+      }
+      return;
+    }
+    int32_t P = t.nodes[X].parent;
+    int32_t S = t.sibling(P, X);
+    int32_t num_muts_G_to_P = (int32_t)t.nodes[P].muts.size();
+
+    for (CandidateRegion& region : result) {
+      if (!can_change_root && region.branch == t.root) {
+        region.branch = -1;
+        continue;
+      }
+      if (region.branch != S && region.branch != P) continue;
+      if (P != t.root) {
+        if (region.branch == S) {
+          if (region.mut_idx == 0)
+            region.t_min = region_t_min(P, num_muts_G_to_P);
+          region.mut_idx += num_muts_G_to_P;
+        } else {  // region.branch == P
+          if (region.mut_idx == num_muts_G_to_P)
+            region.branch = -1;
+          else
+            region.branch = S;
+        }
+      } else {
+        if (!can_change_root) {
+          if (region.branch == P) region.branch = -1;
+        } else {
+          if (region.branch == S &&
+              region.mut_idx == (int32_t)t.nodes[S].muts.size()) {
+            region.mut_idx += num_muts_G_to_P;
+            region.t_min = NEG_BIG;
+          } else {
+            region.branch = -1;
+          }
+        }
+      }
+    }
+    result.erase(std::remove_if(
+                     result.begin(), result.end(),
+                     [](const CandidateRegion& r) { return r.branch == -1; }),
+                 result.end());
+  }
+
+  void remove_regions_in_Xs_future() {
+    std::vector<CandidateRegion> out;
+    out.reserve(result.size());
+    for (CandidateRegion& r : result) {
+      if (r.t_min >= t_X) continue;
+      if (r.t_max > t_X) r.t_max = t_X;
+      out.push_back(r);
+    }
+    result = std::move(out);
+  }
+};
+
+struct SprStudy {
+  const Tree& tree;
+  double lambda_X, f, t_X, t_max_tip, mu;
+  std::vector<CandidateRegion> regions;
+  double log_Wmax = 0.0, sum_W = 0.0;
+
+  SprStudy(SprStudyBuilder& builder, double lambda_X_, double annealing_factor,
+           double t_X_, double t_max_tip_)
+      : tree(builder.tree), lambda_X(lambda_X_), f(annealing_factor),
+        t_X(t_X_), t_max_tip(t_max_tip_), regions(std::move(builder.result)) {
+    mu = lambda_X /
+         (double)((int64_t)tree.L - (int64_t)builder.missing_at_X.size());
+    if (regions.empty()) throw std::runtime_error("SPR study empty");
+
+    for (CandidateRegion& r : regions) {
+      int32_t m = r.min_muts;
+      if (!r.is_above_root()) {
+        double t_prime = 0.5 * (r.t_min + r.t_max);
+        double arg1 = f * lambda_X * (r.t_max - r.t_min);
+        double arg2 = mu * (t_X - t_prime) / 3.0;
+        if (arg1 <= 0.0 || (m > 0 && arg2 <= 0.0))
+          r.log_W_over_Wmax = -INFINITY;
+        else
+          r.log_W_over_Wmax =
+              std::log(arg1) +
+              f * (-lambda_X * (t_X - t_prime) + m * std::log(arg2));
+      } else {
+        double t_S = tree.nodes[r.branch].t;
+        double s_min = std::fabs(t_X - t_S);
+        double t_early = std::min(t_X, t_S);
+        double s_max = s_min + 20.0 * std::max(t_max_tip - t_early, 0.0);
+        double x_min = lambda_X * f * s_min;
+        double x_max = lambda_X * f * s_max;
+        if (x_max < 0.01) {
+          double alpha = f * m + 1;
+          r.log_W_over_Wmax =
+              -std::log(2.0) + std::log(f * lambda_X) +
+              f * m * std::log(mu / 3.0) + alpha * std::log(s_max) +
+              std::log1p(-std::pow(s_min / s_max, alpha)) - std::log(alpha);
+        } else {
+          r.log_W_over_Wmax =
+              -std::log(2.0) + f * m * std::log(mu / (3.0 * lambda_X * f)) +
+              std::lgamma(f * m + 1) +
+              safe_log_gamma_integral(f * m + 1, x_min, x_max);
+        }
+      }
+    }
+
+    log_Wmax = -INFINITY;
+    for (const CandidateRegion& r : regions)
+      log_Wmax = std::max(log_Wmax, r.log_W_over_Wmax);
+    if (!std::isfinite(log_Wmax)) log_Wmax = 0.0;
+    sum_W = 0.0;
+    for (CandidateRegion& r : regions) {
+      r.log_W_over_Wmax -= log_Wmax;
+      r.W_over_Wmax = std::exp(r.log_W_over_Wmax);
+      sum_W += r.W_over_Wmax;
+    }
+  }
+
+  int32_t pick_nexus_region(Rng& rng) const {
+    double u = rng.uniform(0.0, sum_W);
+    for (size_t i = 0; i < regions.size(); i++) {
+      if (regions[i].W_over_Wmax >= u) return (int32_t)i;
+      u -= regions[i].W_over_Wmax;
+    }
+    return 0;
+  }
+
+  void root_s_bounds(const CandidateRegion& r, double& t_S, double& s_min,
+                     double& s_max) const {
+    t_S = tree.nodes[r.branch].t;
+    s_min = std::fabs(t_X - t_S);
+    s_max = s_min + 20.0 * std::max(t_max_tip - std::min(t_X, t_S), 0.0);
+  }
+
+  double pick_time_in_region(int32_t idx, Rng& rng) const {
+    const CandidateRegion& r = regions[idx];
+    if (!r.is_above_root()) {
+      double u = rng.uniform(0.0, 1.0);
+      return r.t_max - u * (r.t_max - r.t_min);  // in (t_min, t_max]
+    }
+    int32_t m = r.min_muts;
+    double t_S, s_min, s_max;
+    root_s_bounds(r, t_S, s_min, s_max);
+    double x_max = lambda_X * f * s_max;
+    double s;
+    if (x_max < 0.01) {
+      double alpha = f * m + 1;
+      double U = rng.uniform(1e-16, 1.0);
+      s = std::pow(std::pow(s_min, alpha) +
+                       U * (std::pow(s_max, alpha) - std::pow(s_min, alpha)),
+                   1.0 / alpha);
+    } else {
+      double alpha = f * m + 1;
+      double Q_hi = gamma_Q(alpha, lambda_X * f * s_min);
+      double Q_lo = gamma_Q(alpha, lambda_X * f * s_max);
+      double Q = Q_lo + rng.uniform(1e-16, 1.0) * (Q_hi - Q_lo);
+      double y = gamma_Qinv(alpha, Q);
+      s = std::min(std::max(y / (lambda_X * f), s_min), s_max);
+    }
+    double t = 0.5 * (t_X + t_S - s);
+    return std::min(std::max(t, r.t_min), r.t_max);
+  }
+
+  int32_t find_region(int32_t branch, double t) const {
+    for (size_t i = 0; i < regions.size(); i++) {
+      const CandidateRegion& r = regions[i];
+      if (r.branch == branch && r.t_min < t && t <= r.t_max) return (int32_t)i;
+    }
+    return -1;
+  }
+
+  double log_alpha_in_region(int32_t idx, double t) const {
+    const CandidateRegion& r = regions[idx];
+    double log_p_region = r.log_W_over_Wmax - std::log(sum_W);
+    if (!r.is_above_root())
+      return log_p_region - std::log(r.t_max - r.t_min);
+    int32_t m = r.min_muts;
+    double t_S, s_min, s_max;
+    root_s_bounds(r, t_S, s_min, s_max);
+    double x_min = lambda_X * f * s_min, x_max = lambda_X * f * s_max;
+    double s = (t_X - t) + (t_S - t);
+    if (s > s_max + 1e-6) return -INFINITY;
+    if (x_max < 0.01) {
+      double alpha = f * m + 1;
+      return log_p_region + std::log(2.0) + std::log(alpha) +
+             (alpha - 1) * std::log(s) - alpha * std::log(s_max) -
+             std::log1p(-std::pow(s_min / s_max, alpha));
+    }
+    return log_p_region + std::log(2.0) + std::log(lambda_X * f) +
+           f * m * std::log(lambda_X * f * s) - lambda_X * f * s -
+           std::lgamma(f * m + 1) -
+           safe_log_gamma_integral(f * m + 1, x_min, x_max);
+  }
+};
+
+// ---- mixer (mixer.py TopologyMixer) ---------------------------------------
+
+struct Mixer {
+  Tree& tree;
+  Rng& rng;
+  SprContext& ctx;
+  Coal& coal;
+  bool can_change_root;
+  double t_max_tip;
+  int64_t n_accepted = 0, n_proposed = 0;
+  double delta_log_G = 0.0, delta_log_coal = 0.0;
+
+  Mixer(Tree& t, Rng& r, SprContext& c, Coal& co, bool ccr, double tmt)
+      : tree(t), rng(r), ctx(c), coal(co), can_change_root(ccr),
+        t_max_tip(tmt) {}
+
+  void enumerate_straddling(int32_t P, double t, int32_t X,
+                            std::vector<int32_t>& out) {
+    if (P == X) return;
+    if (t <= tree.nodes[P].t)
+      out.push_back(P);
+    else if (tree.nodes[P].c0 != NO_NODE) {
+      enumerate_straddling(tree.nodes[P].c0, t, X, out);
+      enumerate_straddling(tree.nodes[P].c1, t, X, out);
+    }
+  }
+
+  void spr_move_core(int32_t X, int32_t SS, double new_t_P,
+                     double alpha_ratio) {
+    Tree& t = tree;
+    if (X == t.root) return;
+    double t_X = t.nodes[X].t;
+    int32_t P = t.nodes[X].parent;
+    if (!can_change_root && (P == t.root || SS == t.root)) return;
+    double old_t_P = t.nodes[P].t;
+    int32_t old_S = t.sibling(P, X);
+    int32_t G = t.nodes[P].parent;
+    if (new_t_P == t_X || new_t_P == t.nodes[SS].t ||
+        (P != t.root && new_t_P == t.nodes[G].t))
+      return;
+
+    ctx.begin_move();
+    Graft old_graft = ctx.analyze_graft(X);
+    ctx.peel_graft(old_graft);
+    ctx.move(X, SS, new_t_P);
+    Graft new_graft = ctx.propose_new_graft(X, rng);
+
+    double delta_coal = coal.displace_delta(old_t_P, new_t_P);
+    double log_mh = (new_graft.delta_log_G - new_graft.log_alpha_mut) -
+                    (old_graft.delta_log_G - old_graft.log_alpha_mut) +
+                    std::log(alpha_ratio) + delta_coal;
+    if (log_mh >= 0.0 || rng.uniform() < std::exp(std::min(log_mh, 0.0))) {
+      ctx.apply_graft(new_graft);
+      coal.commit();
+      n_accepted++;
+      delta_log_G += new_graft.delta_log_G - old_graft.delta_log_G;
+      delta_log_coal += delta_coal;
+    } else {
+      ctx.move(X, old_S, old_t_P);
+      ctx.apply_graft(old_graft);
+    }
+  }
+
+  void subtree_slide() {
+    Tree& t = tree;
+    int32_t N = (int32_t)t.nodes.size();
+    int32_t X = (int32_t)rng.integers(0, N);
+    if (X == t.root) return;
+    int32_t P = t.nodes[X].parent;
+    int32_t S = t.sibling(P, X);
+
+    double t_early = (P == t.root)
+                         ? std::min(t.nodes[X].t, t.nodes[S].t)
+                         : t.nodes[t.root].t;
+    double tree_span = std::max(t_max_tip - t_early, 0.0);
+    double lam_X = ctx.lambda_at(X);
+    if (lam_X <= 0.0) return;
+    double delta_scale = std::min(0.5 / lam_X, tree_span);
+    double delta_t = rng.normal(0.0, delta_scale);
+    double old_P_t = t.nodes[P].t;
+    double new_P_t = old_P_t + delta_t;
+
+    if (delta_t < 0.0) {
+      if (P != t.root && new_P_t < t.nodes[t.nodes[P].parent].t) {
+        int32_t GG = t.nodes[P].parent;
+        int32_t SS = P;
+        while (GG != NO_NODE && new_P_t < t.nodes[GG].t) {
+          SS = GG;
+          GG = t.nodes[GG].parent;
+        }
+        std::vector<int32_t> branches;
+        enumerate_straddling(SS, old_P_t, X, branches);
+        double alpha_ratio = (1.0 / (double)branches.size()) / 1.0;
+        spr_move_core(X, SS, new_P_t, alpha_ratio);
+      } else {
+        spr_move_core(X, S, new_P_t, 1.0);
+      }
+    } else {
+      if (new_P_t > t.nodes[X].t) return;
+      if (new_P_t > t.nodes[S].t) {
+        std::vector<int32_t> branches;
+        enumerate_straddling(P, new_P_t, X, branches);
+        if (branches.empty()) return;
+        int32_t SS = branches[rng.integers(0, (int64_t)branches.size())];
+        double alpha_ratio = 1.0 / (1.0 / (double)branches.size());
+        spr_move_core(X, SS, new_P_t, alpha_ratio);
+      } else {
+        spr_move_core(X, S, new_P_t, 1.0);
+      }
+    }
+  }
+
+  void spr1() {
+    Tree& t = tree;
+    int32_t N = (int32_t)t.nodes.size();
+    int64_t limit = rng.uniform() < 0.01 ? (int64_t)1 << 31 : 1;
+    double annealing_factor = 0.8;
+
+    int32_t X = (int32_t)rng.integers(0, N);
+    if (X == t.root) return;
+    if (t.nodes[X].parent == t.root && !can_change_root) return;
+    double lam_X = ctx.lambda_at(X);
+    if (lam_X == 0.0) return;
+    double t_X = t.nodes[X].t;
+    int32_t P = t.nodes[X].parent;
+    double old_t_P = t.nodes[P].t;
+    int32_t old_S = t.sibling(P, X);
+
+    ctx.begin_move();
+    Graft old_graft = ctx.analyze_graft(X);
+    ctx.peel_graft(old_graft);
+
+    Deltas old_deltas_P_to_X = summarize_closed(old_graft);
+    Sites missing_at_X = ctx.miss_at_or_above(X);
+
+    SprStudyBuilder pre_builder(t, X, t_X, missing_at_X, limit);
+    pre_builder.seed_fill_from(old_S, 0, old_deltas_P_to_X, can_change_root);
+    SprStudy pre_study(pre_builder, lam_X, annealing_factor, t_X, t_max_tip);
+
+    int32_t new_region = pre_study.pick_nexus_region(rng);
+    int32_t new_S = pre_study.regions[new_region].branch;
+    double new_t_P = pre_study.pick_time_in_region(new_region, rng);
+    double log_alpha_old_to_new =
+        pre_study.log_alpha_in_region(new_region, new_t_P);
+
+    double t_new_S = t.nodes[new_S].t;
+    int32_t new_G = new_S != t.root ? t.nodes[new_S].parent : NO_NODE;
+    if (new_G == P) new_G = t.nodes[P].parent;
+    double t_new_G = new_G != NO_NODE ? t.nodes[new_G].t : -1e308;
+    if (new_t_P == t_X || new_t_P == t_new_S || new_t_P == t_new_G) {
+      ctx.apply_graft(old_graft);
+      return;
+    }
+
+    ctx.move(X, new_S, new_t_P);
+    Graft new_graft = ctx.propose_new_graft(X, rng);
+
+    Deltas new_deltas_P_to_X = summarize_closed(new_graft);
+    SprStudyBuilder post_builder(t, X, t_X, missing_at_X, limit);
+    post_builder.seed_fill_from(new_S, 0, new_deltas_P_to_X, can_change_root);
+    SprStudy post_study(post_builder, lam_X, annealing_factor, t_X, t_max_tip);
+    int32_t old_region = post_study.find_region(old_S, old_t_P);
+    if (old_region == -1) {
+      // reverse proposal can't produce the old state -> reject
+      ctx.move(X, old_S, old_t_P);
+      ctx.apply_graft(old_graft);
+      return;
+    }
+    double log_alpha_new_to_old =
+        post_study.log_alpha_in_region(old_region, old_t_P);
+
+    double delta_coal = coal.displace_delta(old_t_P, new_t_P);
+    double log_mh = (new_graft.delta_log_G - new_graft.log_alpha_mut) -
+                    (old_graft.delta_log_G - old_graft.log_alpha_mut) +
+                    log_alpha_new_to_old - log_alpha_old_to_new + delta_coal;
+    if (log_mh >= 0.0 || rng.uniform() < std::exp(std::min(log_mh, 0.0))) {
+      ctx.apply_graft(new_graft);
+      coal.commit();
+      n_accepted++;
+      delta_log_G += new_graft.delta_log_G - old_graft.delta_log_G;
+      delta_log_coal += delta_coal;
+    } else {
+      ctx.move(X, old_S, old_t_P);
+      ctx.apply_graft(old_graft);
+    }
+  }
+
+  static Deltas summarize_closed(const Graft& graft) {
+    Deltas out;
+    for (const BranchInfo& bi : graft.branch_infos)
+      if (!bi.is_open)
+        for (const auto& kv : bi.hot_deltas_to_X)
+          out[kv.first] = kv.second;  // update semantics (dict.update)
+    return out;
+  }
+
+  void run_burst(int64_t n_moves) {
+    for (int64_t i = 0; i < n_moves; i++) {
+      n_proposed++;
+      if (rng.uniform() < 0.5)
+        subtree_slide();
+      else
+        spr1();
+    }
+  }
+};
+
+}  // namespace
+
+// ---- C ABI ----------------------------------------------------------------
+//
+// One call = one topology burst.  The tree comes in/goes out as CSR arrays
+// (the layout of state.py / core/api.fbs); missations travel as intervals
+// and expand to site lists internally.  Returns 0 on success, -2 if an
+// output capacity is too small, -1 on any internal error (caller falls back
+// to the Python mixer; input arrays are never modified).
+
+extern "C" int32_t delphy_run_topo_burst(
+    // tree in
+    int32_t N, int32_t num_tips, int32_t L, int32_t root,
+    const int32_t* parent, const int32_t* children,  // children: N x 2
+    const double* t, const double* t_min, const double* t_max,
+    const uint8_t* ref_seq,
+    const int64_t* mut_off, const int32_t* mut_site, const int8_t* mut_from,
+    const int8_t* mut_to, const double* mut_t,
+    const int64_t* miss_off, const int32_t* miss_s, const int32_t* miss_e,
+    const int64_t* fs_off, const int32_t* fs_site, const int8_t* fs_state,
+    // evo
+    double mu, const double* nu, const double* q, const double* pi,
+    // pop model: kind 0 = exp [t0,n0,g,min_pop]; kind 1 = skygrid
+    // [type, K, x[K], gamma[K]]
+    int32_t pop_kind, const double* pop_par,
+    // coal: mode 0 = internal grid (num_cells, t_max_tip); mode 1 = vsc part
+    int32_t coal_mode, int32_t num_cells, double t_max_tip,
+    double vsc_t_ref, double vsc_t_step, int32_t vsc_C, int32_t vsc_kp_C,
+    const double* vsc_k_bar_p, const double* vsc_k_twiddle_bar_p,
+    const double* vsc_k_twiddle_bar, const double* vsc_popsize_bar,
+    const int32_t* vsc_num_active,
+    // burst
+    int32_t can_change_root, int64_t n_moves, uint64_t seed,
+    // tree out
+    int32_t* out_parent, int32_t* out_children, double* out_t,
+    int32_t* out_root,
+    int64_t* out_mut_off, int32_t* out_mut_site, int8_t* out_mut_from,
+    int8_t* out_mut_to, double* out_mut_t, int64_t mut_cap,
+    int64_t* out_miss_off, int32_t* out_miss_s, int32_t* out_miss_e,
+    int64_t miss_cap,
+    int64_t* out_fs_off, int32_t* out_fs_site, int8_t* out_fs_state,
+    int64_t fs_cap,
+    // stats out: [delta_log_G, delta_log_coal, n_accepted, n_proposed]
+    double* out_stats) {
+  try {
+    // -- deserialize --------------------------------------------------------
+    Tree tr;
+    tr.root = root;
+    tr.num_tips = num_tips;
+    tr.L = L;
+    tr.ref_seq = ref_seq;
+    tr.nodes.resize(N);
+    for (int32_t n = 0; n < N; n++) {
+      Node& nd = tr.nodes[n];
+      nd.parent = parent[n];
+      nd.c0 = children[2 * n];
+      nd.c1 = children[2 * n + 1];
+      nd.t = t[n];
+      nd.t_min = t_min[n];
+      nd.t_max = t_max[n];
+      nd.muts.reserve(mut_off[n + 1] - mut_off[n]);
+      for (int64_t i = mut_off[n]; i < mut_off[n + 1]; i++)
+        nd.muts.push_back(Mut{mut_site[i], mut_from[i], mut_to[i], mut_t[i]});
+      for (int64_t i = miss_off[n]; i < miss_off[n + 1]; i++)
+        for (int32_t l = miss_s[i]; l < miss_e[i]; l++) nd.miss.push_back(l);
+      for (int64_t i = fs_off[n]; i < fs_off[n + 1]; i++)
+        nd.fs[fs_site[i]] = fs_state[i];
+    }
+
+    PopModel pop;
+    pop.kind = pop_kind;
+    if (pop_kind == 0) {
+      pop.t0 = pop_par[0];
+      pop.n0 = pop_par[1];
+      pop.gr = pop_par[2];
+      pop.min_pop = pop_par[3];
+    } else {
+      pop.sg_type = (int32_t)pop_par[0];
+      int32_t K = (int32_t)pop_par[1];
+      pop.x.assign(pop_par + 2, pop_par + 2 + K);
+      pop.gamma.assign(pop_par + 2 + K, pop_par + 2 + 2 * K);
+    }
+
+    Rng rng(seed);
+
+    CoalGrid grid;
+    VscPart vsc;
+    Coal coal;
+    if (coal_mode == 0) {
+      grid.build(tr, &pop, num_cells, t_max_tip);
+      coal.grid = &grid;
+    } else {
+      vsc.pop = &pop;
+      vsc.includes_tree_root = can_change_root != 0;
+      vsc.t_ref = vsc_t_ref;
+      vsc.t_step = vsc_t_step;
+      // k_bar_p / k_twiddle_bar_p may be shorter than the global cell
+      // arrays (non-root parts span fewer cells; vsc.py make_vsc_parts)
+      vsc.k_bar_p.assign(vsc_k_bar_p, vsc_k_bar_p + vsc_kp_C);
+      vsc.k_twiddle_bar_p.assign(vsc_k_twiddle_bar_p,
+                                 vsc_k_twiddle_bar_p + vsc_kp_C);
+      vsc.k_twiddle_bar.assign(vsc_k_twiddle_bar, vsc_k_twiddle_bar + vsc_C);
+      vsc.popsize_bar.assign(vsc_popsize_bar, vsc_popsize_bar + vsc_C);
+      vsc.num_active.resize(vsc_C);
+      for (int32_t i = 0; i < vsc_C; i++)
+        vsc.num_active[i] = (double)vsc_num_active[i];
+      vsc.rng = &rng;
+      coal.vsc = &vsc;
+    }
+
+    SprContext ctx(tr, mu, nu, q, pi, can_change_root != 0);
+    Mixer mixer(tr, rng, ctx, coal, can_change_root != 0, t_max_tip);
+    mixer.run_burst(n_moves);
+
+    // -- serialize ----------------------------------------------------------
+    int64_t mut_total = 0, miss_total = 0, fs_total = 0;
+    for (int32_t n = 0; n < N; n++) {
+      mut_total += (int64_t)tr.nodes[n].muts.size();
+      const Sites& ms = tr.nodes[n].miss;
+      for (size_t i = 0; i < ms.size();) {  // count intervals
+        size_t j = i + 1;
+        while (j < ms.size() && ms[j] == ms[j - 1] + 1) j++;
+        miss_total++;
+        i = j;
+      }
+      fs_total += (int64_t)tr.nodes[n].fs.size();
+    }
+    if (mut_total > mut_cap || miss_total > miss_cap || fs_total > fs_cap)
+      return -2;
+
+    int64_t mo = 0, io = 0, fo = 0;
+    for (int32_t n = 0; n < N; n++) {
+      Node& nd = tr.nodes[n];
+      out_parent[n] = nd.parent;
+      out_children[2 * n] = nd.c0;
+      out_children[2 * n + 1] = nd.c1;
+      out_t[n] = nd.t;
+      out_mut_off[n] = mo;
+      for (const Mut& m : nd.muts) {
+        out_mut_site[mo] = m.site;
+        out_mut_from[mo] = m.from;
+        out_mut_to[mo] = m.to;
+        out_mut_t[mo] = m.t;
+        mo++;
+      }
+      out_miss_off[n] = io;
+      const Sites& ms = nd.miss;
+      for (size_t i = 0; i < ms.size();) {
+        size_t j = i + 1;
+        while (j < ms.size() && ms[j] == ms[j - 1] + 1) j++;
+        out_miss_s[io] = ms[i];
+        out_miss_e[io] = ms[j - 1] + 1;
+        io++;
+        i = j;
+      }
+      out_fs_off[n] = fo;
+      std::vector<std::pair<int32_t, int8_t>> fss(nd.fs.begin(), nd.fs.end());
+      std::sort(fss.begin(), fss.end());
+      for (const auto& kv : fss) {
+        out_fs_site[fo] = kv.first;
+        out_fs_state[fo] = kv.second;
+        fo++;
+      }
+    }
+    out_mut_off[N] = mo;
+    out_miss_off[N] = io;
+    out_fs_off[N] = fo;
+    *out_root = tr.root;
+    out_stats[0] = mixer.delta_log_G;
+    out_stats[1] = mixer.delta_log_coal;
+    out_stats[2] = (double)mixer.n_accepted;
+    out_stats[3] = (double)mixer.n_proposed;
+    return 0;
+  } catch (...) {
+    return -1;
+  }
+}
