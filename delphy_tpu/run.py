@@ -201,15 +201,27 @@ class Run:
                     log_G=self.ledger.log_G + dlg)
                 # log_coal is stale until the next boundary's full recompute
         else:
-            mixer = TopologyMixer(tree, self.host_rng,
-                                  num_cells=min(self.num_cells, 400))
-            mixer.run_burst(n_moves, mu, nu, q, pi, host_pop, self.t_max_tip)
-            self.topology_accepted += mixer.n_accepted
-            self.topology_proposed += mixer.n_proposed
+            from .native import run_burst_native
+            res = run_burst_native(
+                tree, n_moves, mu, nu, q, pi, host_pop,
+                seed=int(self.host_rng.integers(2 ** 63)),
+                can_change_root=True, num_cells=min(self.num_cells, 400),
+                t_max_tip=self.t_max_tip)
+            if res is not None:
+                dlg, dlc, acc, prop = res
+            else:  # no native toolchain: Python mixer
+                mixer = TopologyMixer(tree, self.host_rng,
+                                      num_cells=min(self.num_cells, 400))
+                mixer.run_burst(n_moves, mu, nu, q, pi, host_pop,
+                                self.t_max_tip)
+                dlg, dlc = mixer.delta_log_G, mixer.delta_log_coal
+                acc, prop = mixer.n_accepted, mixer.n_proposed
+            self.topology_accepted += acc
+            self.topology_proposed += prop
             if self.ledger is not None:
                 self.ledger = self.ledger._replace(
-                    log_G=self.ledger.log_G + mixer.delta_log_G,
-                    log_coal=self.ledger.log_coal + mixer.delta_log_coal)
+                    log_G=self.ledger.log_G + dlg,
+                    log_coal=self.ledger.log_coal + dlc)
         # keep the reference sequence anchored at the root (normalize_root,
         # run.cpp:258-275; log_G is invariant)
         rereference_to_root_sequence(tree)

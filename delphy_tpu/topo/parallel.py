@@ -79,20 +79,51 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
     for p, vsc, prng, k in zip(parts, vscs, rngs, alloc):
         if k == 0 or p.tree.num_nodes < 5:
             continue
-        payloads.append((p, (p.tree, vsc, int(k), p.includes_root,
-                             mu, nu, q, pi, int(prng.integers(2 ** 63)))))
+        payloads.append((p, vsc, int(k), int(prng.integers(2 ** 63))))
 
     delta_log_G, n_acc, n_prop = 0.0, 0, 0
-    if parallel and len(payloads) > 1 and _pool_usable():
-        try:
-            pool = _get_pool(min(len(payloads), os.cpu_count() or 4))
-            results = pool.map(run_part_burst, [pl for (_, pl) in payloads])
-        except Exception:
-            results = [run_part_burst(pl) for (_, pl) in payloads]
-    else:
-        results = [run_part_burst(pl) for (_, pl) in payloads]
 
-    for (p, _), (new_tree, dlg, acc, prop) in zip(payloads, results):
+    # preferred path: the native kernel releases the GIL, so per-part bursts
+    # run on a plain thread pool — no pickling, no worker processes (the
+    # reference's ctpl thread-pool architecture, run.cpp:682-693)
+    from ..native import native_available, run_burst_native
+    if native_available():
+        def _native_one(args):
+            p, vsc, k, seed = args
+            tmx = float(np.max(p.tree.t_max[:p.tree.num_tips]))
+            return run_burst_native(p.tree, k, mu, nu, q, pi, host_pop,
+                                    seed=seed, can_change_root=p.includes_root,
+                                    t_max_tip=tmx, vsc=vsc)
+        from concurrent.futures import ThreadPoolExecutor
+        if parallel and len(payloads) > 1:
+            with ThreadPoolExecutor(min(len(payloads),
+                                        os.cpu_count() or 4)) as ex:
+                results = list(ex.map(_native_one, payloads))
+        else:
+            results = [_native_one(pl) for pl in payloads]
+        # a failed part leaves its tree untouched (the kernel mutates only on
+        # success), so partial failures just mean fewer moves this burst
+        for r in results:
+            if r is not None:
+                dlg, _dlc, acc, prop = r
+                delta_log_G += dlg
+                n_acc += acc
+                n_prop += prop
+        reassemble(tree, parts)
+        return delta_log_G, n_acc, n_prop
+
+    py_payloads = [(p, (p.tree, vsc, k, p.includes_root, mu, nu, q, pi, seed))
+                   for (p, vsc, k, seed) in payloads]
+    if parallel and len(py_payloads) > 1 and _pool_usable():
+        try:
+            pool = _get_pool(min(len(py_payloads), os.cpu_count() or 4))
+            results = pool.map(run_part_burst, [pl for (_, pl) in py_payloads])
+        except Exception:
+            results = [run_part_burst(pl) for (_, pl) in py_payloads]
+    else:
+        results = [run_part_burst(pl) for (_, pl) in py_payloads]
+
+    for (p, _), (new_tree, dlg, acc, prop) in zip(py_payloads, results):
         p.tree = new_tree  # workers return a copy (pickled round trip)
         delta_log_G += dlg
         n_acc += acc
