@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-out-trees-file", metavar="FILE")
     a("--v0-tree-every", type=int, default=-1)
     a("--v0-site-rate-heterogeneity", action="store_true")
+    a("--v0-mpox-hack", action="store_true")
     a("--v0-init-mutation-rate", type=float, default=None)
     a("--v0-fix-mutation-rate", action="store_true")
     a("--v0-mu-prior-mean", type=float, default=None)
@@ -147,6 +148,7 @@ def main(argv=None) -> int:
 
     from delphy_tpu import pop as popm
     run = Run(tree, seed=args.v0_seed, hyp=hyp,
+              mpox_hack=args.v0_mpox_hack,
               num_cells=max(64, args.v0_target_coal_prior_cells),
               pop_model=args.v0_pop_model,
               skygrid_num_parameters=args.v0_skygrid_num_parameters,

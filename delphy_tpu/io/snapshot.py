@@ -18,14 +18,15 @@ import numpy as np
 import jax.numpy as jnp
 
 MAGIC = "delphy-tpu-snapshot"
-VERSION = 1
+VERSION = 2
 
 
 def save_run(run, path):
     from .. import pop as popm
     arrays = {f"ts_{k}": np.asarray(v) for k, v in run.ts._asdict().items()}
     arrays["key"] = np.asarray(run.key)
-    for k in ("mu", "kappa", "pi", "q", "alpha", "nu"):
+    for k in ("mu", "kappa", "pi", "q", "alpha", "nu", "part", "q_tab",
+              "mpox_rho"):
         arrays[f"evo_{k}"] = np.asarray(getattr(run.evo, k))
     if isinstance(run.pop, popm.SkygridPopParams):
         pop_meta = {"model": "skygrid", "type": int(run.pop.type)}
@@ -80,10 +81,18 @@ def load_run(path):
               **({"skygrid_num_parameters": len(data["pop_gamma"]),
                   "skygrid_type": meta["pop"]["type"]}
                  if meta["pop"]["model"] == "skygrid" else {}))
+    L = int(np.asarray(data["evo_nu"]).shape[0])
+    part = (jnp.asarray(data["evo_part"]) if "evo_part" in data
+            else jnp.zeros((L,), jnp.int32))
+    q_tab = (jnp.asarray(data["evo_q_tab"]) if "evo_q_tab" in data
+             else jnp.asarray(data["evo_q"])[None])
+    rho = (jnp.asarray(data["evo_mpox_rho"]) if "evo_mpox_rho" in data
+           else jnp.float64(0.0))
     run.evo = EvoParams(
         mu=jnp.asarray(data["evo_mu"]), kappa=jnp.asarray(data["evo_kappa"]),
         pi=jnp.asarray(data["evo_pi"]), q=jnp.asarray(data["evo_q"]),
-        alpha=jnp.asarray(data["evo_alpha"]), nu=jnp.asarray(data["evo_nu"]))
+        alpha=jnp.asarray(data["evo_alpha"]), nu=jnp.asarray(data["evo_nu"]),
+        part=part, q_tab=q_tab, mpox_rho=rho)
     if meta["pop"]["model"] == "skygrid":
         run.pop = popm.SkygridPopParams(
             x=jnp.asarray(data["pop_x"]), gamma=jnp.asarray(data["pop_gamma"]),

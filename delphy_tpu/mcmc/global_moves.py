@@ -54,6 +54,7 @@ class PriorConfig:
     pop_growth_rate_move_enabled: bool = True
     skygrid_tau_move_enabled: bool = True
     mu_fixed: bool = False
+    mpox_enabled: bool = False
 
 
 def compute_caches(ts: TreeState, evo: EvoParams) -> Caches:
@@ -143,7 +144,7 @@ def hky_frequencies_move(key, evo: EvoParams, Ttwiddle_a, M_ab, root_freq):
     u = jax.random.uniform(k_acc, (), jnp.float64, 1e-300, 1.0)
     accept = ok & ((delta > 0) | (jnp.log(u) < delta))
     return jax.tree.map(lambda a, b: jnp.where(accept, a, b),
-                        evo._replace(pi=new_pi, q=new_q), evo)
+                        evo._replace(pi=new_pi, q=new_q, q_tab=new_q[None]), evo)
 
 
 def hky_kappa_move(key, evo: EvoParams, Ttwiddle_a, M_ab, hyp: PriorConfig):
@@ -168,7 +169,51 @@ def hky_kappa_move(key, evo: EvoParams, Ttwiddle_a, M_ab, hyp: PriorConfig):
     u = jax.random.uniform(k_acc, (), jnp.float64, 1e-300, 1.0)
     accept = (log_mh > 0) | (jnp.log(u) < log_mh)
     return jax.tree.map(lambda a, b: jnp.where(accept, a, b),
-                        evo._replace(kappa=new_kappa, q=new_q), evo)
+                        evo._replace(kappa=new_kappa, q=new_q, q_tab=new_q[None]), evo)
+
+
+def _sample_truncated_gamma_geq1(key, shape, rate):
+    """k ~ Gamma(shape, rate) conditioned on k >= 1 (cf. the reference's
+    safe_sample_truncated_gamma, distributions.h).  Vectorized rejection over
+    64 draws; if all fall below 1 (overwhelming evidence for k ~= 1), returns
+    1 — the conditional's mass is then packed against the boundary anyway."""
+    draws = jax.random.gamma(key, shape, (64,), jnp.float64) / rate
+    ok = draws >= 1.0
+    first = jnp.argmax(ok)
+    return jnp.where(jnp.any(ok), draws[first], jnp.float64(1.0))
+
+
+def mpox_hack_moves(key, evo: EvoParams, M_beta_ab, num_muts,
+                    Ttwiddle_beta_a, hyp: PriorConfig):
+    """10x pseudo-Gibbs of (mu, rho) under the 2-partition APOBEC model
+    (reference mpox_hack_moves, run.cpp:823-952):
+
+      mu | rho ~ Gamma[M + a - 1, b + Ttwiddle + 2 rho Ttwiddle*]
+      (1 + 6 rho) | mu ~ Gamma[M* + 1, mu Ttwiddle*/3] truncated to [1, inf)
+
+    with M* = M^1_CT + M^1_GA and Ttwiddle* = Ttwiddle^1_C + Ttwiddle^1_G."""
+    A, C, G, T = 0, 1, 2, 3
+    M = num_muts.astype(jnp.float64)
+    M_star = (M_beta_ab[1, C, T] + M_beta_ab[1, G, A]).astype(jnp.float64)
+    Ttwiddle = jnp.sum(Ttwiddle_beta_a)
+    Ttwiddle_star = Ttwiddle_beta_a[1, C] + Ttwiddle_beta_a[1, G]
+
+    def body(i, carry):
+        mu, rho, key = carry
+        key, k_mu, k_rho = jax.random.split(key, 3)
+        Ttwiddle_eff = Ttwiddle + 2.0 * rho * Ttwiddle_star
+        if hyp.mu_move_enabled and not hyp.mu_fixed:
+            mu = (jax.random.gamma(k_mu, M + hyp.mu_prior_alpha - 1.0,
+                                   dtype=jnp.float64)
+                  / (Ttwiddle_eff + hyp.mu_prior_beta))
+        k = _sample_truncated_gamma_geq1(k_rho, M_star + 1.0,
+                                         mu * Ttwiddle_star / 3.0)
+        rho = jnp.where(Ttwiddle_star > 0.0, (k - 1.0) / 6.0, rho)
+        return (mu, rho, key)
+
+    mu, rho, _ = jax.lax.fori_loop(
+        0, 10, body, (evo.mu, evo.mpox_rho, key))
+    return evo.with_mpox_rho(mu=mu, rho=rho)
 
 
 def _log_p_alpha(alpha, mu, Ttwiddle_l, M_l):

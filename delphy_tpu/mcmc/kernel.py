@@ -35,19 +35,30 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
 
     key, k_mu, k_hky, k_alpha, k_pop = jax.random.split(key, 5)
 
-    # 1. Gibbs sampling of mu (run.cpp:704-709)
-    if hyp.mu_move_enabled and not hyp.mu_fixed:
-        evo = gm.mu_gibbs_move(k_mu, evo, Ttwiddle_a, num_muts, hyp)
+    if hyp.mpox_enabled:
+        # 1 & 2. Gibbs sampling of mu & mu_star under the 2-partition APOBEC
+        # model (run.cpp:720-724, 823-952)
+        M_beta_ab = lk.calc_num_muts_beta_ab(ts, evo)
+        nu_prefix_pa = lk.calc_ref_state_prefix_beta(ts, evo)
+        Ttwiddle_beta_a = lk.calc_Ttwiddle_beta_a(ts, evo, tin, tout,
+                                                  nu_prefix_pa)
+        evo = gm.mpox_hack_moves(k_mu, evo, M_beta_ab, num_muts,
+                                 Ttwiddle_beta_a, hyp)
+    else:
+        # 1. Gibbs sampling of mu (run.cpp:704-709)
+        if hyp.mu_move_enabled and not hyp.mu_fixed:
+            evo = gm.mu_gibbs_move(k_mu, evo, Ttwiddle_a, num_muts, hyp)
 
-    # 2. 10x pseudo-Gibbs HKY frequency + kappa moves (run.cpp:714-719)
-    if hyp.hky_moves_enabled:
-        def hky_body(i, carry):
-            evo, key = carry
-            key, kf, kk = jax.random.split(key, 3)
-            evo = gm.hky_frequencies_move(kf, evo, Ttwiddle_a, M_ab, root_freq)
-            evo = gm.hky_kappa_move(kk, evo, Ttwiddle_a, M_ab, hyp)
-            return (evo, key)
-        evo, _ = jax.lax.fori_loop(0, 10, hky_body, (evo, k_hky))
+        # 2. 10x pseudo-Gibbs HKY frequency + kappa moves (run.cpp:714-719)
+        if hyp.hky_moves_enabled:
+            def hky_body(i, carry):
+                evo, key = carry
+                key, kf, kk = jax.random.split(key, 3)
+                evo = gm.hky_frequencies_move(kf, evo, Ttwiddle_a, M_ab,
+                                              root_freq)
+                evo = gm.hky_kappa_move(kk, evo, Ttwiddle_a, M_ab, hyp)
+                return (evo, key)
+            evo, _ = jax.lax.fori_loop(0, 10, hky_body, (evo, k_hky))
 
     # 3. alpha moves + Gibbs of all nu_l (run.cpp:729-732)
     if hyp.alpha_move_enabled:

@@ -354,10 +354,11 @@ def batched_branch_reform(ts: TreeState, ledger: Ledger, evo: EvoParams, key,
     matched = jnp.zeros(M, jnp.float64).at[perm_old].set(raw[perm_new])
     new_mut_t = jnp.where(mut_in, matched, ts.mut_t)
 
-    q_a = evo.q_a
+    qa_tab = evo.qa_tab
     site = jnp.maximum(ts.mut_site, 0)
-    slope = evo.mu * evo.nu[site] * (q_a[jnp.maximum(ts.mut_from, 0)] -
-                                     q_a[jnp.maximum(ts.mut_to, 0)])
+    mpart = evo.part[site]
+    slope = evo.mu * evo.nu[site] * (qa_tab[mpart, jnp.maximum(ts.mut_from, 0)] -
+                                     qa_tab[mpart, jnp.maximum(ts.mut_to, 0)])
     per_slot = jnp.where(mut_in, -slope * (new_mut_t - ts.mut_t), 0.0)
     delta_per_node = jnp.zeros(N, jnp.float64).at[node_safe].add(per_slot)
 
@@ -401,10 +402,11 @@ def branch_reform(carry, keys, evo: EvoParams, pop_params, t_max_tip):
     matched = jnp.zeros(M, jnp.float64).at[perm_old].set(raw[perm_new])
     new_mut_t = jnp.where(mask, matched, ts.mut_t)
 
-    q_a = evo.q_a
+    qa_tab = evo.qa_tab
     site = jnp.maximum(ts.mut_site, 0)
-    slope = evo.mu * evo.nu[site] * (q_a[jnp.maximum(ts.mut_from, 0)] -
-                                     q_a[jnp.maximum(ts.mut_to, 0)])
+    mpart = evo.part[site]
+    slope = evo.mu * evo.nu[site] * (qa_tab[mpart, jnp.maximum(ts.mut_from, 0)] -
+                                     qa_tab[mpart, jnp.maximum(ts.mut_to, 0)])
     delta_log_G = jnp.sum(jnp.where(mask, -slope * (new_mut_t - ts.mut_t), 0.0))
 
     accept = valid & _mh_accept(k_acc, delta_log_G)

@@ -72,7 +72,7 @@ def _load():
             i64p, i32p, i32p,
             i64p, i32p, i8p,
             # evo
-            ctypes.c_double, f64p, f64p, f64p,
+            ctypes.c_double, f64p, ctypes.c_int32, f64p, i32p, f64p,
             # pop
             ctypes.c_int32, f64p,
             # coal
@@ -188,7 +188,7 @@ def _pop_spec(host_pop):
 def run_burst_native(tree, n_moves: int, mu, nu, q, pi, host_pop,
                      seed: int, can_change_root: bool,
                      num_cells: int = 400, t_max_tip: float = 0.0,
-                     vsc=None):
+                     vsc=None, part=None, q_tab=None):
     """Run a topology burst in the native kernel, mutating `tree` in place.
 
     Returns (delta_log_G, delta_log_coal, n_accepted, n_proposed) or None if
@@ -203,7 +203,14 @@ def run_burst_native(tree, n_moves: int, mu, nu, q, pi, host_pop,
         _tree_to_csr(tree)
     ref_seq = np.ascontiguousarray(tree.ref_seq, dtype=np.uint8)
     nu = np.ascontiguousarray(nu, dtype=np.float64)
-    q = np.ascontiguousarray(np.asarray(q, dtype=np.float64).reshape(-1))
+    if q_tab is None:
+        q_tab = np.asarray(q, dtype=np.float64)[None]
+    q_tab = np.ascontiguousarray(np.asarray(q_tab, dtype=np.float64))
+    P = q_tab.shape[0]
+    q_flat = np.ascontiguousarray(q_tab.reshape(-1))
+    if part is None:
+        part = np.zeros(L, dtype=np.int32)
+    part = np.ascontiguousarray(part, dtype=np.int32)
     pi = np.ascontiguousarray(pi, dtype=np.float64)
     pop_kind, pop_par = _pop_spec(host_pop)
 
@@ -251,7 +258,7 @@ def run_burst_native(tree, n_moves: int, mu, nu, q, pi, host_pop,
             parent, children, t, t_min, t_max, ref_seq,
             mut_off, mut_site, mut_from, mut_to, mut_t,
             miss_off, miss_s, miss_e, fs_off, fs_site, fs_state,
-            float(mu), nu, q, pi,
+            float(mu), nu, P, q_flat, part, pi,
             pop_kind, pop_par,
             coal_mode, num_cells, float(t_max_tip),
             v_t_ref, v_t_step, v_C, v_kp_C, v_kbp, v_ktbp, v_ktb, v_psb, v_na,

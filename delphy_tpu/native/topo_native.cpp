@@ -749,22 +749,32 @@ struct SprContext {
   Tree& tree;
   double mu;
   const double* nu;     // [L]
-  const double* q;      // [16] row-major
-  double q_a[4];
+  const int32_t* part;  // [L] per-site partitions (mpox hack; all 0 normally)
+  std::vector<double> qtab;   // [P*16] per-partition rate matrices
+  std::vector<double> qatab;  // [P*4] per-partition escape rates
   const double* pi;     // [4]
   bool can_change_root;
   std::vector<double> ref_cum_Q;  // [L+1]
   double lambda_ref;
   double mu_proposal = -1.0;
 
+  double qa(int32_t l, int a) const { return qatab[part[l] * 4 + a]; }
+  double qrate(int32_t l, int a, int b) const {
+    return qtab[part[l] * 16 + a * 4 + b];
+  }
+
   SprContext(Tree& t, double mu_, const double* nu_, const double* q_,
-             const double* pi_, bool ccr)
-      : tree(t), mu(mu_), nu(nu_), q(q_), pi(pi_), can_change_root(ccr) {
-    for (int a = 0; a < 4; a++) q_a[a] = -q_[a * 4 + a];
+             int32_t P, const int32_t* part_, const double* pi_, bool ccr)
+      : tree(t), mu(mu_), nu(nu_), part(part_), pi(pi_),
+        can_change_root(ccr) {
+    qtab.assign(q_, q_ + P * 16);
+    qatab.resize(P * 4);
+    for (int p = 0; p < P; p++)
+      for (int a = 0; a < 4; a++) qatab[p * 4 + a] = -q_[p * 16 + a * 4 + a];
     ref_cum_Q.resize(t.L + 1);
     ref_cum_Q[0] = 0.0;
     for (int32_t l = 0; l < t.L; l++)
-      ref_cum_Q[l + 1] = ref_cum_Q[l] + mu * nu[l] * q_a[t.ref_seq[l]];
+      ref_cum_Q[l + 1] = ref_cum_Q[l] + mu * nu[l] * qa(l, t.ref_seq[l]);
     lambda_ref = ref_cum_Q[t.L];
   }
 
@@ -774,13 +784,13 @@ struct SprContext {
     const Node& nd = tree.nodes[node];
     double out = 0.0;
     for (const Mut& m : nd.muts)
-      out += mu * nu[m.site] * (q_a[m.to] - q_a[m.from]);
+      out += mu * nu[m.site] * (qa(m.site, m.to) - qa(m.site, m.from));
     // missations: stored as a site set; subtract per-site ref rate, then
     // correct for non-ref from_states
     for (int32_t l : nd.miss) out -= ref_cum_Q[l + 1] - ref_cum_Q[l];
     for (const auto& kv : nd.fs)
       out -= mu * nu[kv.first] *
-             (q_a[kv.second] - q_a[tree.ref_seq[kv.first]]);
+             (qa(kv.first, kv.second) - qa(kv.first, tree.ref_seq[kv.first]));
     return out;
   }
 
@@ -801,7 +811,7 @@ struct SprContext {
     for (int32_t l : sites) {
       auto it = from.find(l);
       int8_t s = it != from.end() ? it->second : (int8_t)tree.ref_seq[l];
-      out += mu * nu[l] * q_a[s];
+      out += mu * nu[l] * qa(l, s);
     }
     return out;
   }
@@ -825,8 +835,8 @@ struct SprContext {
                       const std::vector<Mut>& muts) const {
     double r = -lam_X * (t_X - t_P);
     for (const Mut& m : muts) {
-      r -= mu * nu[m.site] * (q_a[m.from] - q_a[m.to]) * (m.t - t_P);
-      r += std::log(mu * nu[m.site] * q[m.from * 4 + m.to]);
+      r -= mu * nu[m.site] * (qa(m.site, m.from) - qa(m.site, m.to)) * (m.t - t_P);
+      r += std::log(mu * nu[m.site] * qrate(m.site, m.from, m.to));
     }
     return r;
   }
@@ -893,7 +903,8 @@ struct SprContext {
     for (const Mut& m : t.nodes[X].muts) {
       if (px.hot_sites.contains(m.site)) {
         px.hot_muts_to_X.push_back(m);
-        px.partial_lambda_at_X += mu * nu[m.site] * (q_a[m.to] - q_a[m.from]);
+        px.partial_lambda_at_X +=
+            mu * nu[m.site] * (qa(m.site, m.to) - qa(m.site, m.from));
       }
     }
 
@@ -906,7 +917,8 @@ struct SprContext {
     for (const Mut& m : t.nodes[S].muts) {
       if (ps.hot_sites.contains(m.site)) {
         ps.hot_muts_to_X.push_back(m);
-        ps.partial_lambda_at_X += mu * nu[m.site] * (q_a[m.to] - q_a[m.from]);
+        ps.partial_lambda_at_X +=
+            mu * nu[m.site] * (qa(m.site, m.to) - qa(m.site, m.from));
       }
     }
 
@@ -956,7 +968,8 @@ struct SprContext {
     px.partial_lambda_at_A = lambda_at(X);
     const auto& xmuts = t.nodes[X].muts;
     for (auto it = xmuts.rbegin(); it != xmuts.rend(); ++it)
-      px.partial_lambda_at_A += mu * nu[it->site] * (q_a[it->from] - q_a[it->to]);
+      px.partial_lambda_at_A +=
+          mu * nu[it->site] * (qa(it->site, it->from) - qa(it->site, it->to));
     double next_plB = lam_over_miss(sliding_sites, sliding_from);
     px.partial_lambda_at_A -= next_plB;
     g.branch_infos.push_back(std::move(px));
@@ -974,7 +987,8 @@ struct SprContext {
       const auto& cmuts = t.nodes[cur].muts;
       for (auto it = cmuts.rbegin(); it != cmuts.rend(); ++it) {
         if (sites_contains(sliding_sites, it->site)) {
-          partial_lambda += mu * nu[it->site] * (q_a[it->from] - q_a[it->to]);
+          partial_lambda +=
+              mu * nu[it->site] * (qa(it->site, it->from) - qa(it->site, it->to));
           if (it->from == (int8_t)t.ref_seq[it->site])
             sliding_from.erase(it->site);
           else
@@ -1040,7 +1054,8 @@ struct SprContext {
       for (const Mut& m : bi.hot_muts_to_X) {
         if (!bi.is_open)
           push_back_d(bi.hot_deltas_to_X, m.site, m.from, m.to);
-        bi.partial_lambda_at_X += mu * nu[m.site] * (q_a[m.to] - q_a[m.from]);
+        bi.partial_lambda_at_X +=
+            mu * nu[m.site] * (qa(m.site, m.to) - qa(m.site, m.from));
       }
     }
     return g;
@@ -1098,7 +1113,7 @@ struct SprContext {
         for (auto it = bi.hot_muts_to_X.rbegin(); it != bi.hot_muts_to_X.rend();
              ++it)
           bi.partial_lambda_at_A +=
-              mu * nu[it->site] * (q_a[it->from] - q_a[it->to]);
+              mu * nu[it->site] * (qa(it->site, it->from) - qa(it->site, it->to));
       }
     }
   }
@@ -2193,8 +2208,11 @@ extern "C" int32_t delphy_run_topo_burst(
     const int8_t* mut_to, const double* mut_t,
     const int64_t* miss_off, const int32_t* miss_s, const int32_t* miss_e,
     const int64_t* fs_off, const int32_t* fs_site, const int8_t* fs_state,
-    // evo
-    double mu, const double* nu, const double* q, const double* pi,
+    // evo: q is [P*16] per-partition rate matrices, part is [L] site
+    // partition indices (the mpox hack's 2-partition APOBEC model; all-zero
+    // and P == 1 otherwise)
+    double mu, const double* nu, int32_t P, const double* q,
+    const int32_t* part, const double* pi,
     // pop model: kind 0 = exp [t0,n0,g,min_pop]; kind 1 = skygrid
     // [type, K, x[K], gamma[K]]
     int32_t pop_kind, const double* pop_par,
@@ -2283,7 +2301,7 @@ extern "C" int32_t delphy_run_topo_burst(
       coal.vsc = &vsc;
     }
 
-    SprContext ctx(tr, mu, nu, q, pi, can_change_root != 0);
+    SprContext ctx(tr, mu, nu, q, P, part, pi, can_change_root != 0);
     Mixer mixer(tr, rng, ctx, coal, can_change_root != 0, t_max_tip);
     mixer.run_burst(n_moves);
 

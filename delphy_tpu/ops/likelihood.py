@@ -65,8 +65,7 @@ def path_sums_int(parent: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
 def calc_ref_cum_Q(ts: TreeState, evo: EvoParams) -> jnp.ndarray:
     """cum_Q[k] = sum_{l<k} mu * nu_l * q_a(ref_l); length L+1
     (reference calc_cum_Q_l_for_sequence, phylo_tree_calc.cpp:379-388)."""
-    q_a = evo.q_a
-    site_Q = evo.mu * evo.nu * q_a[ts.ref_seq]
+    site_Q = evo.mu * evo.nu * evo.qa_tab[evo.part, ts.ref_seq]
     return jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.cumsum(site_Q)])
 
 
@@ -93,10 +92,13 @@ def calc_branch_delta_lambda(ts: TreeState, evo: EvoParams, ref_cum_Q: jnp.ndarr
     lambda across each branch — mutations part + missations part
     (reference calc_delta_lambda_across_branch, phylo_tree_calc.h:140-155)."""
     N = ts.num_nodes
-    q_a = evo.q_a
+    qa_tab = evo.qa_tab
 
     mut_valid = ts.mut_node >= 0
-    contrib = evo.mu * evo.nu[ts.mut_site] * (q_a[ts.mut_to] - q_a[ts.mut_from])
+    mpart = evo.part[jnp.maximum(ts.mut_site, 0)]
+    contrib = evo.mu * evo.nu[ts.mut_site] * (
+        qa_tab[mpart, jnp.maximum(ts.mut_to, 0)]
+        - qa_tab[mpart, jnp.maximum(ts.mut_from, 0)])
     dlam_mut = jnp.zeros(N, jnp.float64).at[jnp.maximum(ts.mut_node, 0)].add(
         jnp.where(mut_valid, contrib, 0.0))
 
@@ -106,8 +108,11 @@ def calc_branch_delta_lambda(ts: TreeState, evo: EvoParams, ref_cum_Q: jnp.ndarr
         jnp.where(miss_valid, iv_contrib, 0.0))
 
     fs_valid = ts.fs_node >= 0
-    ref_at = ts.ref_seq[jnp.maximum(ts.fs_site, 0)]
-    fs_contrib = -evo.mu * evo.nu[jnp.maximum(ts.fs_site, 0)] * (q_a[jnp.maximum(ts.fs_from, 0)] - q_a[ref_at])
+    fsite = jnp.maximum(ts.fs_site, 0)
+    ref_at = ts.ref_seq[fsite]
+    fpart = evo.part[fsite]
+    fs_contrib = -evo.mu * evo.nu[fsite] * (
+        qa_tab[fpart, jnp.maximum(ts.fs_from, 0)] - qa_tab[fpart, ref_at])
     dlam_miss = dlam_miss.at[jnp.maximum(ts.fs_node, 0)].add(jnp.where(fs_valid, fs_contrib, 0.0))
 
     return dlam_mut + dlam_miss, dlam_miss
@@ -165,7 +170,6 @@ def calc_log_G(ts: TreeState, evo: EvoParams, lambda_i: jnp.ndarray, root_freq: 
     """Full augmented genetic log-likelihood: root prior + sum of branch terms
     (reference calc_log_G_below_root + calc_branch_log_G,
     phylo_tree_calc.cpp:506-558, phylo_tree_calc.h:185-206)."""
-    q_a = evo.q_a
     n = jnp.arange(ts.num_nodes)
     not_root = n != ts.root
     safe_parent = jnp.maximum(ts.parent, 0)
@@ -173,10 +177,13 @@ def calc_log_G(ts: TreeState, evo: EvoParams, lambda_i: jnp.ndarray, root_freq: 
 
     real = (ts.mut_node >= 0) & (ts.mut_node != ts.root)
     site = jnp.maximum(ts.mut_site, 0)
+    mpart = evo.part[site]
     munu = evo.mu * evo.nu[site]
-    rate_ab = evo.q[jnp.maximum(ts.mut_from, 0), jnp.maximum(ts.mut_to, 0)]
+    rate_ab = evo.q_tab[mpart, jnp.maximum(ts.mut_from, 0), jnp.maximum(ts.mut_to, 0)]
     t_P = ts.t[safe_parent[jnp.maximum(ts.mut_node, 0)]]
-    slope = munu * (q_a[jnp.maximum(ts.mut_from, 0)] - q_a[jnp.maximum(ts.mut_to, 0)])
+    qa_tab = evo.qa_tab
+    slope = munu * (qa_tab[mpart, jnp.maximum(ts.mut_from, 0)]
+                    - qa_tab[mpart, jnp.maximum(ts.mut_to, 0)])
     per_mut = jnp.log(jnp.where(real, munu * rate_ab, 1.0)) - slope * (ts.mut_t - t_P)
     mut_terms = jnp.where(real, per_mut, 0.0)
 
@@ -197,6 +204,18 @@ def calc_num_muts_ab(ts: TreeState):
     idx = jnp.maximum(ts.mut_from, 0) * 4 + jnp.maximum(ts.mut_to, 0)
     flat = jnp.zeros(16, jnp.int64).at[idx].add(jnp.where(real, 1, 0))
     return flat.reshape(4, 4)
+
+
+def calc_num_muts_beta_ab(ts: TreeState, evo: EvoParams):
+    """Per-(partition, a, b) mutation counts (reference calc_num_muts_beta_ab,
+    phylo_tree_calc.cpp; used by the mpox hack's mu/rho Gibbs moves)."""
+    P = evo.q_tab.shape[0]
+    real = (ts.mut_node >= 0) & (ts.mut_node != ts.root)
+    mpart = evo.part[jnp.maximum(ts.mut_site, 0)]
+    idx = (mpart.astype(jnp.int32) * 16
+           + jnp.maximum(ts.mut_from, 0) * 4 + jnp.maximum(ts.mut_to, 0))
+    flat = jnp.zeros(P * 16, jnp.int64).at[idx].add(jnp.where(real, 1, 0))
+    return flat.reshape(P, 4, 4)
 
 
 def calc_num_muts_l(ts: TreeState):
@@ -275,16 +294,19 @@ def calc_Ttwiddle_l(ts: TreeState, evo: EvoParams, tin, tout):
     difference-array trick: scatter +/-T_below_miss at interval ends, prefix-sum
     over sites, multiply by q_a(ref_l)."""
     L = ts.num_sites
-    q_a = evo.q_a
+    qa_tab = evo.qa_tab
+    qa_ref = qa_tab[evo.part, ts.ref_seq]  # [L]
     T_below = calc_T_below(ts, tin, tout)
     T_total = T_below[ts.root]
-    tl = q_a[ts.ref_seq] * T_total
+    tl = qa_ref * T_total
 
     mvalid = ts.mut_node >= 0
     Tb_mut = _mut_T_below(ts, T_below)
     site = jnp.maximum(ts.mut_site, 0)
+    mpart = evo.part[site]
     corr = jnp.where(mvalid,
-                     (q_a[jnp.maximum(ts.mut_to, 0)] - q_a[jnp.maximum(ts.mut_from, 0)]) * Tb_mut,
+                     (qa_tab[mpart, jnp.maximum(ts.mut_to, 0)]
+                      - qa_tab[mpart, jnp.maximum(ts.mut_from, 0)]) * Tb_mut,
                      0.0)
     tl = tl.at[site].add(corr)
 
@@ -294,15 +316,64 @@ def calc_Ttwiddle_l(ts: TreeState, evo: EvoParams, tin, tout):
     diff = diff.at[jnp.maximum(ts.miss_start, 0)].add(jnp.where(ivalid, Tb_iv, 0.0))
     diff = diff.at[jnp.maximum(ts.miss_end, 0)].add(jnp.where(ivalid, -Tb_iv, 0.0))
     W = jnp.cumsum(diff)[:L]   # W_l = total T_below_miss covering site l
-    tl = tl - q_a[ts.ref_seq] * W
+    tl = tl - qa_ref * W
 
     fvalid = ts.fs_node >= 0
     Tb_fs = _miss_T_below(ts, T_below, ts.fs_node)
     fsite = jnp.maximum(ts.fs_site, 0)
+    fpart = evo.part[fsite]
     wf = jnp.where(fvalid, Tb_fs, 0.0)
-    tl = tl.at[fsite].add(wf * q_a[ts.ref_seq[fsite]])        # undo ref assumption
-    tl = tl.at[fsite].add(-wf * q_a[jnp.maximum(ts.fs_from, 0)])  # true from-state
+    tl = tl.at[fsite].add(wf * qa_tab[fpart, ts.ref_seq[fsite]])  # undo ref assumption
+    tl = tl.at[fsite].add(-wf * qa_tab[fpart, jnp.maximum(ts.fs_from, 0)])
     return tl
+
+
+def calc_ref_state_prefix_beta(ts: TreeState, evo: EvoParams):
+    """nu-weighted prefix sums of ref states resolved per partition:
+    nucum_pa[p, a, k] = sum_{l < k, part_l == p, ref_l == a} nu_l."""
+    P = evo.q_tab.shape[0]
+    comb = evo.part.astype(jnp.int32) * 4 + ts.ref_seq.astype(jnp.int32)
+    onehot = jax.nn.one_hot(comb, P * 4, dtype=jnp.float64).T  # [P*4, L]
+    zeros = jnp.zeros((P * 4, 1), jnp.float64)
+    nucum = jnp.concatenate(
+        [zeros, jnp.cumsum(onehot * evo.nu[None, :], axis=1)], axis=1)
+    return nucum.reshape(P, 4, -1)
+
+
+def calc_Ttwiddle_beta_a(ts: TreeState, evo: EvoParams, tin, tout,
+                         nu_prefix_pa: jnp.ndarray):
+    """Ttwiddle^beta_a[p, a] = sum_{l in p} nu_l T^(l)_a (reference
+    calc_Ttwiddle_beta_a, phylo_tree_calc.cpp:224-369).  The P = 1 reduction
+    equals calc_Ttwiddle_a; nu_prefix_pa is calc_ref_state_prefix_beta()."""
+    P = evo.q_tab.shape[0]
+    T_below = calc_T_below(ts, tin, tout)
+    T_total = T_below[ts.root]
+    tw = (nu_prefix_pa[:, :, -1] * T_total).reshape(-1)  # [P*4]
+
+    mvalid = ts.mut_node >= 0
+    Tb_mut = _mut_T_below(ts, T_below)
+    site = jnp.maximum(ts.mut_site, 0)
+    mpart = evo.part[site].astype(jnp.int32)
+    w = jnp.where(mvalid, evo.nu[site] * Tb_mut, 0.0)
+    tw = tw.at[mpart * 4 + jnp.maximum(ts.mut_from, 0)].add(-w)
+    tw = tw.at[mpart * 4 + jnp.maximum(ts.mut_to, 0)].add(w)
+
+    ivalid = ts.miss_node >= 0
+    Tb_iv = _miss_T_below(ts, T_below, ts.miss_node)
+    flat_prefix = nu_prefix_pa.reshape(P * 4, -1)
+    nu_in_iv = (flat_prefix[:, jnp.maximum(ts.miss_end, 0)] -
+                flat_prefix[:, jnp.maximum(ts.miss_start, 0)])  # [P*4, K]
+    tw = tw - jnp.sum(jnp.where(ivalid[None, :], nu_in_iv * Tb_iv[None, :], 0.0),
+                      axis=1)
+
+    fvalid = ts.fs_node >= 0
+    Tb_fs = _miss_T_below(ts, T_below, ts.fs_node)
+    fsite = jnp.maximum(ts.fs_site, 0)
+    fpart = evo.part[fsite].astype(jnp.int32)
+    wf = jnp.where(fvalid, evo.nu[fsite] * Tb_fs, 0.0)
+    tw = tw.at[fpart * 4 + ts.ref_seq[fsite]].add(wf)
+    tw = tw.at[fpart * 4 + jnp.maximum(ts.fs_from, 0)].add(-wf)
+    return tw.reshape(P, 4)
 
 
 def calc_num_sites_missing(ts: TreeState, cnt_prefix: jnp.ndarray):

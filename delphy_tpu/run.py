@@ -36,7 +36,8 @@ class Run:
                  topology_parallel_processes: bool = True,
                  pop_model: str = "exp", skygrid_num_parameters: int = 50,
                  skygrid_cutoff_days: float | None = None,
-                 skygrid_type: int = popm.STAIRCASE):
+                 skygrid_type: int = popm.STAIRCASE,
+                 mpox_hack: bool = False):
         tree.check_integrity()
         self.names = list(tree.name)
         # generous pool headroom so topology moves rarely force a reshape
@@ -65,13 +66,29 @@ class Run:
         self.local_moves_per_global_move = (
             50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
 
-        # initial HKY pi from ref-sequence state frequencies (run.cpp:61-80)
-        freq = np.bincount(np.asarray(tree.ref_seq), minlength=4).astype(np.float64)
-        est_pi = freq / freq.sum()
-        if est_pi.min() < 0.01 or est_pi.max() > 0.99:
-            est_pi = np.full(4, 0.25)
-        self.evo: EvoParams = make_evo_params(
-            tree.num_sites, mu=1e-3 / 365.0, kappa=1.0, pi=est_pi, alpha=10.0)
+        self.mpox_hack = mpox_hack
+        if mpox_hack:
+            # 2-partition APOBEC model (reference set_mpox_hack_enabled,
+            # run.cpp:359-398): partitions from the first tip's sequence,
+            # JC rates with uniform pi, rho = mu_star/mu starts at 0
+            import dataclasses
+            from .evo import apobec_context_partition
+            part = apobec_context_partition(tree.sequence_at(0))
+            self.hyp = hyp = dataclasses.replace(hyp, mpox_enabled=True)
+            self.evo = make_evo_params(
+                tree.num_sites, mu=1e-3 / 365.0, kappa=1.0,
+                pi=np.full(4, 0.25), alpha=10.0,
+                part=part).with_mpox_rho(rho=0.0)
+        else:
+            # initial HKY pi from ref-sequence state frequencies (run.cpp:61-80)
+            freq = np.bincount(np.asarray(tree.ref_seq),
+                               minlength=4).astype(np.float64)
+            est_pi = freq / freq.sum()
+            if est_pi.min() < 0.01 or est_pi.max() > 0.99:
+                est_pi = np.full(4, 0.25)
+            self.evo = make_evo_params(
+                tree.num_sites, mu=1e-3 / 365.0, kappa=1.0, pi=est_pi,
+                alpha=10.0)
 
         t_max_tip = float(np.max(tree.t_max[:tree.num_tips]))
         self.t_max_tip = t_max_tip
@@ -183,6 +200,7 @@ class Run:
             host_pop = HostExpPop(pop_h.t0, pop_h.n0, pop_h.g, pop_h.min_pop)
         mu, nu, q, pi = (float(evo_h.mu), np.asarray(evo_h.nu),
                          np.asarray(evo_h.q), np.asarray(evo_h.pi))
+        part, q_tab = np.asarray(evo_h.part), np.asarray(evo_h.q_tab)
 
         P = self._topology_num_parts()
         if P > 1 and n_moves >= 16 * P:
@@ -193,7 +211,8 @@ class Run:
             dlg, acc, prop = run_partitioned_bursts(
                 tree, n_moves, P, host_pop, mu, nu, q, pi, self.host_rng,
                 num_cells=min(self.num_cells, 400),
-                parallel=self.topology_parallel_processes)
+                parallel=self.topology_parallel_processes,
+                part=part, q_tab=q_tab)
             self.topology_accepted += acc
             self.topology_proposed += prop
             if self.ledger is not None:
@@ -206,14 +225,14 @@ class Run:
                 tree, n_moves, mu, nu, q, pi, host_pop,
                 seed=int(self.host_rng.integers(2 ** 63)),
                 can_change_root=True, num_cells=min(self.num_cells, 400),
-                t_max_tip=self.t_max_tip)
+                t_max_tip=self.t_max_tip, part=part, q_tab=q_tab)
             if res is not None:
                 dlg, dlc, acc, prop = res
             else:  # no native toolchain: Python mixer
                 mixer = TopologyMixer(tree, self.host_rng,
                                       num_cells=min(self.num_cells, 400))
                 mixer.run_burst(n_moves, mu, nu, q, pi, host_pop,
-                                self.t_max_tip)
+                                self.t_max_tip, part=part, q_tab=q_tab)
                 dlg, dlc = mixer.delta_log_G, mixer.delta_log_coal
                 acc, prop = mixer.n_accepted, mixer.n_proposed
             self.topology_accepted += acc
@@ -288,7 +307,10 @@ class Run:
         return (f"step {self.step}  log_post {float(led.log_posterior):.4f}  "
                 f"log_G {float(led.log_G):.4f}  log_coal {float(led.log_coal):.4f}  "
                 f"muts {int(self.last_stats['num_muts'])}  "
-                f"mu {float(self.evo.mu)*365.0:.3e}/yr  kappa {float(self.evo.kappa):.3f}  "
+                f"mu {float(self.evo.mu)*365.0:.3e}/yr  "
+                + (f"mu* {float(self.evo.mu * self.evo.mpox_rho)*365.0:.3e}/yr  "
+                   if self.mpox_hack else "")
+                + f"kappa {float(self.evo.kappa):.3f}  "
                 f"pi [{pi[0]:.2f} {pi[1]:.2f} {pi[2]:.2f} {pi[3]:.2f}]  "
                 f"{pop_str}  "
                 f"t_root {float(self.ts.t[self.ts.root]):.2f}")

@@ -124,18 +124,33 @@ class SprContext:
     evo parameters are host scalars/arrays: mu, nu[L], q[4,4], pi[4]."""
 
     def __init__(self, tree: FlatTree, mu: float, nu: np.ndarray, q: np.ndarray,
-                 pi: np.ndarray, can_change_root: bool = True):
+                 pi: np.ndarray, can_change_root: bool = True,
+                 part=None, q_tab=None):
         self.tree = tree
         self.mu = float(mu)
         self.nu = np.asarray(nu, dtype=np.float64)
         self.q = np.asarray(q, dtype=np.float64)
-        self.q_a = -np.diagonal(self.q)
         self.pi = np.asarray(pi, dtype=np.float64)
         self.can_change_root = can_change_root
         L = tree.num_sites
+        # per-site partitions (all zero except under the mpox hack's
+        # 2-partition APOBEC model; evo.py apobec_context_partition)
+        if q_tab is None:
+            q_tab = self.q[None]
+        self.q_tab = np.asarray(q_tab, dtype=np.float64)
+        self.qa_tab = -np.diagonal(self.q_tab, axis1=1, axis2=2)
+        self.part = (np.zeros(L, dtype=np.int32) if part is None
+                     else np.asarray(part, dtype=np.int32))
+        qa_ref = self.qa_tab[self.part, tree.ref_seq]
         self.ref_cum_Q = np.concatenate(
-            [[0.0], np.cumsum(self.mu * self.nu * self.q_a[tree.ref_seq])])
+            [[0.0], np.cumsum(self.mu * self.nu * qa_ref)])
         self.lambda_ref = float(self.ref_cum_Q[-1])
+
+    def _qa(self, site: int, state: int) -> float:
+        return self.qa_tab[self.part[site], state]
+
+    def _qrate(self, site: int, frm: int, to: int) -> float:
+        return self.q_tab[self.part[site], frm, to]
 
         # JC proposal rate: fixed ONCE per move (the Hastings ratio needs the
         # same proposal parameter for both grafts; subrun.cpp:502 computes it
@@ -152,11 +167,13 @@ class SprContext:
         t = self.tree
         out = 0.0
         for m in t.mutations[node]:
-            out += self.mu * self.nu[m.site] * (self.q_a[m.to] - self.q_a[m.from_])
+            out += self.mu * self.nu[m.site] * (self._qa(m.site, m.to)
+                                                - self._qa(m.site, m.from_))
         for (s, e) in t.miss_intervals[node]:
             out -= self.ref_cum_Q[e] - self.ref_cum_Q[s]
         for site, frm in t.miss_from_states[node].items():
-            out -= self.mu * self.nu[site] * (self.q_a[frm] - self.q_a[t.ref_seq[site]])
+            out -= self.mu * self.nu[site] * (self._qa(site, frm)
+                                              - self._qa(site, t.ref_seq[site]))
         return out
 
     def lambda_at(self, node: int) -> float:
@@ -174,7 +191,7 @@ class SprContext:
         t = self.tree
         for l in sites:
             s = from_states.get(l, int(t.ref_seq[l]))
-            out += self.mu * self.nu[l] * self.q_a[s]
+            out += self.mu * self.nu[l] * self._qa(l, s)
         return out
 
     def num_missing_at(self, node: int) -> int:
@@ -196,8 +213,8 @@ class SprContext:
         r = -lam_X * (t_X - t_P)
         for m in muts:
             r -= (self.mu * self.nu[m.site] *
-                  (self.q_a[m.from_] - self.q_a[m.to]) * (m.t - t_P))
-            r += math.log(self.mu * self.nu[m.site] * self.q[m.from_, m.to])
+                  (self._qa(m.site, m.from_) - self._qa(m.site, m.to)) * (m.t - t_P))
+            r += math.log(self.mu * self.nu[m.site] * self._qrate(m.site, m.from_, m.to))
         return r
 
     # ---- graft analysis ----------------------------------------------------
@@ -243,7 +260,8 @@ class SprContext:
             if m.site in px.hot_sites:
                 px.hot_muts_to_X.append(m)
                 px.partial_lambda_at_X += (self.mu * self.nu[m.site] *
-                                           (self.q_a[m.to] - self.q_a[m.from_]))
+                                           (self._qa(m.site, m.to)
+                                            - self._qa(m.site, m.from_)))
 
         ps = BranchInfo(A=P, B=S, is_open=True, T_to_X=t_S - t_P)
         ps.warm_sites = set(miss_X)
@@ -255,7 +273,8 @@ class SprContext:
             if m.site in ps.hot_sites:
                 ps.hot_muts_to_X.append(m)
                 ps.partial_lambda_at_X += (self.mu * self.nu[m.site] *
-                                           (self.q_a[m.to] - self.q_a[m.from_]))
+                                           (self._qa(m.site, m.to)
+                                            - self._qa(m.site, m.from_)))
 
         spx = BranchInfo(A=S, B=P, is_open=False,
                          T_to_X=(t_S - t_P) + (t_X - t_P))
@@ -297,7 +316,8 @@ class SprContext:
         px.partial_lambda_at_A = self.lambda_at(X)
         for m in reversed(t.mutations[X]):
             px.partial_lambda_at_A += (self.mu * self.nu[m.site] *
-                                       (self.q_a[m.from_] - self.q_a[m.to]))
+                                       (self._qa(m.site, m.from_)
+                                        - self._qa(m.site, m.to)))
         next_plB = self._lam_over_miss(sliding_sites, sliding_from)
         px.partial_lambda_at_A -= next_plB
         g.branch_infos.append(px)
@@ -314,7 +334,8 @@ class SprContext:
             for m in reversed(t.mutations[cur]):
                 if m.site in sliding_sites:
                     partial_lambda += (self.mu * self.nu[m.site] *
-                                       (self.q_a[m.from_] - self.q_a[m.to]))
+                                       (self._qa(m.site, m.from_)
+                                        - self._qa(m.site, m.to)))
                     if m.from_ == int(t.ref_seq[m.site]):
                         sliding_from.pop(m.site, None)
                     else:
@@ -371,7 +392,8 @@ class SprContext:
                 if not bi.is_open:
                     sd.push_back(bi.hot_deltas_to_X, m.site, m.from_, m.to)
                 bi.partial_lambda_at_X += (self.mu * self.nu[m.site] *
-                                           (self.q_a[m.to] - self.q_a[m.from_]))
+                                           (self._qa(m.site, m.to)
+                                            - self._qa(m.site, m.from_)))
         return g
 
     # -- proposal of new graft mutations (spr_move.cpp:207-245, 742-797) --
@@ -410,7 +432,8 @@ class SprContext:
                 bi.partial_lambda_at_A = bi.partial_lambda_at_X
                 for m in reversed(bi.hot_muts_to_X):
                     bi.partial_lambda_at_A += (self.mu * self.nu[m.site] *
-                                               (self.q_a[m.from_] - self.q_a[m.to]))
+                                               (self._qa(m.site, m.from_)
+                                                - self._qa(m.site, m.to)))
 
     def _is_site_missing_at(self, node: int, site: int) -> bool:
         cur = node

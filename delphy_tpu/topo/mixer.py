@@ -167,10 +167,11 @@ class TopologyMixer:
         self.delta_log_coal = 0.0
 
     def run_burst(self, n_moves: int, mu, nu, q, pi, pop_params, t_max_tip: float,
-                  coal=None):
+                  coal=None, part=None, q_tab=None):
         tree = self.tree
         ctx = SprContext(tree, mu, nu, q, pi,
-                         can_change_root=self.can_change_root)
+                         can_change_root=self.can_change_root,
+                         part=part, q_tab=q_tab)
         if coal is not None:
             grid = coal
         else:

@@ -40,7 +40,8 @@ def _get_pool(n_workers: int):
 def run_part_burst(payload):
     """Worker: run one part's topology burst; returns the mutated part tree
     and ledger deltas."""
-    (part_tree, vsc, n_moves, can_change_root, mu, nu, q, pi, seed) = payload
+    (part_tree, vsc, n_moves, can_change_root, mu, nu, q, pi, seed,
+     sp, q_tab) = payload
     os.environ.setdefault("DELPHY_TPU_FORCE_CPU", "1")
     from .mixer import TopologyMixer
 
@@ -48,13 +49,14 @@ def run_part_burst(payload):
     T = part_tree.num_tips
     t_max_tip = float(np.max(part_tree.t_max[:T]))
     mixer = TopologyMixer(part_tree, rng, can_change_root=can_change_root)
-    mixer.run_burst(n_moves, mu, nu, q, pi, None, t_max_tip, coal=vsc)
+    mixer.run_burst(n_moves, mu, nu, q, pi, None, t_max_tip, coal=vsc,
+                    part=sp, q_tab=q_tab)
     return (part_tree, mixer.delta_log_G, mixer.n_accepted, mixer.n_proposed)
 
 
 def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
                            mu, nu, q, pi, host_rng, num_cells: int = 400,
-                           parallel: bool = True):
+                           parallel: bool = True, part=None, q_tab=None):
     """Partition -> per-part bursts (optionally in parallel processes) ->
     reassemble.  Returns (delta_log_G, n_accepted, n_proposed)."""
     from ..phylo import rereference_to_root_sequence
@@ -93,7 +95,8 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
             tmx = float(np.max(p.tree.t_max[:p.tree.num_tips]))
             return run_burst_native(p.tree, k, mu, nu, q, pi, host_pop,
                                     seed=seed, can_change_root=p.includes_root,
-                                    t_max_tip=tmx, vsc=vsc)
+                                    t_max_tip=tmx, vsc=vsc,
+                                    part=part, q_tab=q_tab)
         from concurrent.futures import ThreadPoolExecutor
         if parallel and len(payloads) > 1:
             with ThreadPoolExecutor(min(len(payloads),
@@ -112,7 +115,8 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
         reassemble(tree, parts)
         return delta_log_G, n_acc, n_prop
 
-    py_payloads = [(p, (p.tree, vsc, k, p.includes_root, mu, nu, q, pi, seed))
+    py_payloads = [(p, (p.tree, vsc, k, p.includes_root, mu, nu, q, pi, seed,
+                        part, q_tab))
                    for (p, vsc, k, seed) in payloads]
     if parallel and len(py_payloads) > 1 and _pool_usable():
         try:

@@ -16,11 +16,21 @@ def q_a(q):
     return -np.diagonal(q)
 
 
+def _q_site(q, L):
+    """Broadcast q to per-site (L,4,4): accepts a single 4x4 matrix or a
+    per-site stack (the mpox hack's 2-partition model resolved per site)."""
+    q = np.asarray(q, dtype=np.float64)
+    if q.ndim == 2:
+        return np.broadcast_to(q, (L, 4, 4))
+    return q
+
+
 def lambda_at(tree: FlatTree, node: int, mu, nu, q) -> float:
     seq = tree.sequence_at(node)
     missing = tree.missing_sites_at(node)
-    qa = q_a(q)
-    return sum(mu * nu[l] * qa[seq[l]] for l in range(tree.num_sites) if l not in missing)
+    qs = _q_site(q, tree.num_sites)
+    return sum(mu * nu[l] * (-qs[l, seq[l], seq[l]])
+               for l in range(tree.num_sites) if l not in missing)
 
 
 def lambda_i_all(tree: FlatTree, mu, nu, q):
@@ -29,14 +39,16 @@ def lambda_i_all(tree: FlatTree, mu, nu, q):
 
 def branch_log_G(tree: FlatTree, X: int, mu, nu, q) -> float:
     assert X != tree.root
-    qa = q_a(q)
+    qs = _q_site(q, tree.num_sites)
     P = int(tree.parent[X])
     t_P, t_X = tree.t[P], tree.t[X]
     lam_X = lambda_at(tree, X, mu, nu, q)
     result = -lam_X * (t_X - t_P)
     for m in tree.mutations[X]:
-        result -= mu * nu[m.site] * (qa[m.from_] - qa[m.to]) * (m.t - t_P)
-        result += np.log(mu * nu[m.site] * q[m.from_, m.to])
+        qa_f = -qs[m.site, m.from_, m.from_]
+        qa_t = -qs[m.site, m.to, m.to]
+        result -= mu * nu[m.site] * (qa_f - qa_t) * (m.t - t_P)
+        result += np.log(mu * nu[m.site] * qs[m.site, m.from_, m.to])
     return result
 
 
