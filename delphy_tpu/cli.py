@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-out-delphy-file", metavar="FILE",
       help="run snapshot (npz save/resume; functional .dphy counterpart)")
     a("--v0-delphy-snapshot-every", type=int, default=-1)
+    a("--v0-out-beast-version", default="2.6.2",
+      choices=["2.6.2", "X-10.5.0"])
     a("--v0-out-beast-xml", metavar="FILE",
       help="export an equivalent BEAST2 XML config and exit")
     a("--v0-out-mcc-file", metavar="FILE",
@@ -164,10 +166,14 @@ def main(argv=None) -> int:
         run.set_pop(g=args.v0_init_pop_growth_rate / 365.0)
 
     if args.v0_out_beast_xml:
-        from .io.beast_xml import export_beast2_xml
+        from .io.beast_xml import export_beast2_xml, export_beast_x_xml
         with open(args.v0_out_beast_xml, "w") as f:
-            export_beast2_xml(f, run.tree(), run)
-        print(f"Wrote BEAST2 XML to {args.v0_out_beast_xml}", file=sys.stderr)
+            if args.v0_out_beast_version == "X-10.5.0":
+                export_beast_x_xml(f, run.tree(), run)
+            else:
+                export_beast2_xml(f, run.tree(), run)
+        print(f"Wrote BEAST {args.v0_out_beast_version} XML to "
+              f"{args.v0_out_beast_xml}", file=sys.stderr)
         return 0
 
     steps = args.v0_steps if args.v0_steps > 0 else 100_000 * len(tips)

@@ -198,3 +198,32 @@ def test_cli_skygrid_snapshot(tmp_path):
     run2 = load_run(snap)
     assert run2.step > 0
     run2.do_mcmc_steps(300)
+
+
+def test_beast_x_xml_export(tmp_path):
+    """BEAST X 10.5 XML variant: well-formed, carries the core model blocks
+    (reference export_beast_X_10_5_0_input, beasty_input.cpp:1075-1713)."""
+    import io as _io
+    import xml.etree.ElementTree as ET
+    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.phylo import build_random_tree
+    from delphy_tpu.run import Run
+    from delphy_tpu.io.beast_xml import export_beast_x_xml
+
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        6, 80, mu=3e-3, missing_fraction=0.05, seed=2)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(3))
+    for pm in ("exp", "skygrid"):
+        run = Run(tree, seed=1, pop_model=pm, num_cells=64)
+        buf = _io.StringIO()
+        export_beast_x_xml(buf, run.tree(), run)
+        root = ET.fromstring(buf.getvalue())
+        assert root.tag == "beast"
+        ids = {e.get("id") for e in root.iter() if e.get("id")}
+        assert {"taxa", "alignment", "patterns", "treeModel", "hky",
+                "siteModel", "operators", "mcmc"} <= ids
+        if pm == "skygrid":
+            assert "skygrid" in ids
+        else:
+            assert "exponential" in ids
