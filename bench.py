@@ -19,7 +19,7 @@ os.environ.setdefault("DELPHY_TPU_F32", "1")
 def main():
     import numpy as np
     from delphy_tpu.sim import simulate_dataset
-    from delphy_tpu.phylo import build_greedy_tree
+    from delphy_tpu.init_tree import build_initial_tree
     from delphy_tpu.run import Run
 
     # Ebola-scale: 81 tips x ~19k sites
@@ -27,8 +27,8 @@ def main():
     ref, deltas, miss, dates, names, _ = simulate_dataset(
         T, L, mu=1.2e-3 / 365.0 * 19000 / L, sample_window_days=500.0,
         missing_fraction=0.01, seed=42)
-    tree = build_greedy_tree(ref, deltas, miss, dates, names=names,
-                             rng=np.random.default_rng(42))
+    tree = build_initial_tree(ref, deltas, miss, dates, names=names,
+                              rng=np.random.default_rng(42))
     run = Run(tree, seed=1, num_cells=400)
 
     target_seconds = float(os.environ.get("BENCH_SECONDS", "20"))

@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-pop-g-prior-mu", type=float, default=None)
     a("--v0-pop-g-prior-scale", type=float, default=None)
     a("--v0-target-coal-prior-cells", type=int, default=400)
-    a("--v0-init", choices=["random", "greedy", "mp-plus-timing"], default="greedy",
+    a("--v0-init", choices=["random", "greedy", "mp-plus-timing"],
+      default="mp-plus-timing",
       help="'greedy'/'mp-plus-timing': nearest-neighbour parsimony guide tree; 'random': random coalescent topology")
     a("--v0-skygrid-type", choices=["staircase", "log-linear"], default="staircase")
     a("--v0-skygrid-num-parameters", type=int, default=50)
@@ -112,8 +113,12 @@ def main(argv=None) -> int:
     print(f"Read {len(tips)} tips, {len(ref_seq)} sites", file=sys.stderr)
 
     rng = np.random.default_rng(args.v0_seed)
-    builder = (build_random_tree if args.v0_init == "random"
-               else __import__("delphy_tpu.phylo", fromlist=["build_greedy_tree"]).build_greedy_tree)
+    if args.v0_init == "random":
+        builder = build_random_tree
+    elif args.v0_init == "greedy":
+        from .phylo import build_greedy_tree as builder
+    else:  # mp-plus-timing: guide tree + Fitch factoring + OLS rooting
+        from .init_tree import build_initial_tree as builder
     tree = builder(
         ref_seq,
         [t.deltas for t in tips],

@@ -1,0 +1,292 @@
+"""Initial-tree pipeline: parsimony factoring + OLS root-to-tip rooting.
+
+The TPU-era counterpart of the reference's utree pipeline
+(core/utree.h:235-317 build_initial_phylo_tree): build a guide topology by
+greedy insertion, factor the tip differences into internal branch mutations
+by Fitch parsimony, choose the root by scanning edge midpoints for the
+best root-to-tip date-regression R^2 (which also yields estimates of the
+clock rate and t_MRCA), and time internal nodes from that regression.
+
+Everything here runs on light host structures (adjacency lists + per-site
+state tables); the FlatTree is emitted once at the end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .phylo import FlatTree, Mutation, NO_NODE, fix_up_missations
+
+ROOT_DELTA_T = -1.0e30
+
+_FULL = 0b1111
+
+
+def _fitch_states(T, N, root, children_ro, post, tip_state, tip_missing):
+    """Per-site Fitch parsimony on the rooted guide tree.
+
+    tip_state[i]: state of tip i at this site (or -1 if missing);
+    returns state[n] for every node (int array length N)."""
+    mask = np.zeros(N, dtype=np.uint8)
+    for i in range(T):
+        mask[i] = _FULL if tip_missing[i] else (1 << tip_state[i])
+    for n in post:  # post-order: children before parents
+        c0, c1 = children_ro[n]
+        if c0 == NO_NODE:
+            continue
+        inter = mask[c0] & mask[c1]
+        mask[n] = inter if inter else (mask[c0] | mask[c1])
+    state = np.zeros(N, dtype=np.int8)
+    # top-down: parent's state if compatible, else lowest bit
+    for n in post[::-1]:  # pre-order
+        c0, c1 = children_ro[n]
+        if n == root:
+            m = int(mask[n])
+            state[n] = (m & -m).bit_length() - 1
+        if c0 == NO_NODE:
+            continue
+        for c in (c0, c1):
+            if int(mask[c]) & (1 << int(state[n])):
+                state[c] = state[n]
+            else:
+                m = int(mask[c])
+                state[c] = (m & -m).bit_length() - 1
+    return state
+
+
+def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
+                       tip_miss_intervals: list, tip_dates: list,
+                       names: list | None = None,
+                       rng: np.random.Generator | None = None) -> FlatTree:
+    """Guide topology -> Fitch factoring -> OLS rooting -> timed FlatTree."""
+    from .phylo import build_greedy_tree
+
+    rng = rng or np.random.default_rng(0)
+    ref_seq = np.asarray(ref_seq, dtype=np.int8)
+    T = len(tip_deltas)
+    L = len(ref_seq)
+    if T < 3:
+        return build_greedy_tree(ref_seq, tip_deltas, tip_miss_intervals,
+                                 tip_dates, names=names, rng=rng)
+
+    # ---- phase 1: guide topology (greedy nearest-neighbour insertion) -----
+    guide = build_greedy_tree(ref_seq, tip_deltas, tip_miss_intervals,
+                              tip_dates, names=names, rng=rng)
+    N = guide.num_nodes
+    R = guide.root
+    post = guide.post_order()
+    children_ro = np.asarray(guide.children)
+
+    # ---- phase 2: Fitch parsimony over the variable sites -----------------
+    site_to_tips: dict = {}
+    for i, dl in enumerate(tip_deltas):
+        for (l, to) in dl:
+            site_to_tips.setdefault(int(l), []).append((i, int(to)))
+    var_sites = sorted(site_to_tips)
+
+    # which tips are missing at each variable site (interval stabbing)
+    miss_at = {l: set() for l in var_sites}
+    vs = np.array(var_sites, dtype=np.int64)
+    for i, ivs in enumerate(tip_miss_intervals):
+        for (s, e) in ivs:
+            lo = np.searchsorted(vs, s, side="left")
+            hi = np.searchsorted(vs, e, side="left")
+            for k in range(lo, hi):
+                miss_at[int(vs[k])].add(i)
+
+    V = len(var_sites)
+    S = np.zeros((V, N), dtype=np.int8)   # Fitch state of node n at var site k
+    tip_state = np.empty(T, dtype=np.int64)
+    tip_missing = np.zeros(T, dtype=bool)
+    for k, l in enumerate(var_sites):
+        tip_state[:] = ref_seq[l]
+        for (i, to) in site_to_tips[l]:
+            tip_state[i] = to
+        tip_missing[:] = False
+        for i in miss_at[l]:
+            tip_missing[i] = True
+        S[k] = _fitch_states(T, N, R, children_ro, post,
+                             tip_state, tip_missing)
+    site_idx = {l: k for k, l in enumerate(var_sites)}
+
+    def state_of(node, l):
+        return int(S[site_idx[l], node])
+
+    # ---- unrooted edge list (suppress the guide root, degree 2) -----------
+    parent_ro = np.asarray(guide.parent)
+    edges = []        # (a, b, [sites]) with sites where Fitch states differ
+    adj = [[] for _ in range(N)]
+
+    vs_arr = np.array(var_sites, dtype=np.int64)
+
+    def add_edge(a, b):
+        diff = [int(l) for l in vs_arr[np.nonzero(S[:, a] != S[:, b])[0]]]
+        eid = len(edges)
+        edges.append((a, b, diff))
+        adj[a].append((b, eid))
+        adj[b].append((a, eid))
+
+    for n in range(N):
+        p = int(parent_ro[n])
+        if p == NO_NODE or p == R:
+            continue
+        add_edge(n, p)
+    rc0, rc1 = (int(x) for x in children_ro[R])
+    add_edge(rc0, rc1)   # suppressed-root bridge
+
+    # ---- phase 3: OLS root-to-tip regression over edge midpoints ----------
+    # (utree.h:289-306 ols_regression_root_utree: maximize R^2; the slope
+    # estimates the clock rate, the intercept t_MRCA)
+    w = np.array([len(d) for (_, _, d) in edges], dtype=np.float64)
+
+    # mutation distance from every node to every tip: one DFS per tip
+    dist = np.zeros((N, T), dtype=np.float64)
+    for i in range(T):
+        d = dist[:, i]
+        seen = np.zeros(N, dtype=bool)
+        stack = [(i, 0.0)]
+        seen[i] = True
+        while stack:
+            u, du = stack.pop()
+            d[u] = du
+            for (v, eid) in adj[u]:
+                if not seen[v] and v != R:
+                    seen[v] = True
+                    stack.append((v, du + w[eid]))
+
+    dates = np.array([guide.t[i] for i in range(T)], dtype=np.float64)
+    t_var = dates.var()
+    best = None  # (r2, eid, slope, intercept)
+    for eid, (a, b, _) in enumerate(edges):
+        d_mid = np.minimum(dist[a], dist[b]) + 0.5 * w[eid]
+        dv = d_mid.var()
+        cov = np.mean((d_mid - d_mid.mean()) * (dates - dates.mean()))
+        if dv <= 0 or t_var <= 0:
+            r2, slope = -1.0, 0.0
+        else:
+            slope = cov / t_var           # muts per day
+            r2 = cov * cov / (dv * t_var)
+            if slope <= 0:
+                r2 = -r2                  # prefer positive-clock rootings
+        if best is None or r2 > best[0]:
+            icept = d_mid.mean() - slope * dates.mean()
+            best = (r2, eid, slope, icept)
+    _, root_eid, slope, icept = best
+    slope = max(slope, 1.0 / 26.0)        # floor ~ 13 days/mutation heuristic
+    # t where expected root-to-tip distance hits 0 => t_MRCA estimate
+    t_mrca = -icept / slope
+
+    # ---- phase 4: orient at the chosen edge and emit the FlatTree ---------
+    ra, rb, rdiff = edges[root_eid]
+    parent = np.full(N, NO_NODE, dtype=np.int32)
+    children = np.full((N, 2), NO_NODE, dtype=np.int32)
+    parent[ra] = parent[rb] = R
+    children[R] = (min(ra, rb), max(ra, rb))
+    depth = np.zeros(N, dtype=np.float64)  # mutation distance from root
+    order = [R]
+    mut_sites = [[] for _ in range(N)]     # sites mutating on branch above n
+    # split the root edge's mutations between its two half-branches
+    for l in rdiff:
+        (mut_sites[ra] if rng.random() < 0.5 else mut_sites[rb]).append(l)
+    depth[ra] = len(mut_sites[ra])
+    depth[rb] = len(mut_sites[rb])
+    stack = [ra, rb]
+    order += [ra, rb]
+    seen = np.zeros(N, dtype=bool)
+    seen[[R, ra, rb]] = True
+    while stack:
+        u = stack.pop()
+        for (v, eid) in adj[u]:
+            if eid == root_eid or v == R or seen[v]:
+                continue
+            seen[v] = True
+            parent[v] = u
+            a, b = children[u]
+            children[u] = ((v, b) if a == NO_NODE else
+                           (min(a, v), max(a, v)))
+            mut_sites[v] = edges[eid][2]
+            depth[v] = depth[u] + len(mut_sites[v])
+            stack.append(v)
+            order.append(v)
+    for u in range(N):
+        if u != R and not guide.is_tip(u):
+            a, b = children[u]
+            assert a != NO_NODE and b != NO_NODE, "orientation failed"
+
+    # root sequence state (Fitch) anchored at R's side of the root edge
+    ra_half = set(mut_sites[ra])
+    root_state = {}
+    for l in var_sites:
+        # sites mutating on the R->ra half-branch: the root carries rb's
+        # state; everywhere else the root state equals ra's side
+        s = state_of(rb, l) if l in ra_half else state_of(ra, l)
+        if s != int(ref_seq[l]):
+            root_state[l] = s
+
+    # times: regression positions for inner nodes, then monotonic clamping
+    t = np.zeros(N, dtype=np.float64)
+    t_min = np.full(N, -np.inf)
+    t_max = np.full(N, np.inf)
+    for i in range(T):
+        lo, hi = tip_dates[i]
+        t_min[i], t_max[i] = lo, hi
+        t[i] = float(guide.t[i])
+    for n in order:
+        if not guide.is_tip(n):
+            t[n] = t_mrca + depth[n] / slope
+    # clamp in reversed pre-order of the NEW orientation: every node is
+    # visited after all its descendants, so one pass suffices
+    for n in order[::-1]:
+        p = int(parent[n])
+        if p != NO_NODE and t[p] >= t[n]:
+            t[p] = t[n] - rng.uniform(0.5, 1.5)
+
+    mutations = [[] for _ in range(N)]
+    miss_intervals = [[] for _ in range(N)]
+    miss_from_states = [{} for _ in range(N)]
+    for n in range(N):
+        if n == R:
+            mutations[n] = [Mutation(site=l, from_=int(ref_seq[l]), to=s,
+                                     t=ROOT_DELTA_T)
+                            for l, s in sorted(root_state.items())]
+            continue
+        p = int(parent[n])
+        branch = []
+        for l in mut_sites[n]:
+            # from/to resolved from the oriented Fitch states
+            if p == R:
+                frm = root_state.get(l, int(ref_seq[l]))
+            else:
+                frm = state_of(p, l)
+            to = state_of(n, l)
+            if frm == to:
+                continue
+            branch.append(Mutation(site=l, from_=frm, to=to,
+                                   t=float(rng.uniform(t[p], t[n]))))
+        branch.sort(key=lambda m: m.key())
+        mutations[n] = branch
+    for i in range(T):
+        miss_intervals[i] = sorted(tip_miss_intervals[i])
+
+    # missation from-states: with Fitch-factored internal mutations the state
+    # just above a missing tip need not be the reference state any more (the
+    # old all-on-tip-branch builders could rely on that); record the true
+    # above-tip state so fix_up_missations' factoring keeps the delta chains
+    # consistent
+    for l in var_sites:
+        for i in miss_at[l]:
+            p = int(parent[i])
+            if p == R:
+                s = root_state.get(l, int(ref_seq[l]))
+            else:
+                s = state_of(p, l)
+            if s != int(ref_seq[l]):
+                miss_from_states[i][l] = s
+
+    tree = FlatTree(parent=parent, children=children, t=t, t_min=t_min,
+                    t_max=t_max, root=R, ref_seq=ref_seq,
+                    mutations=mutations, miss_intervals=miss_intervals,
+                    miss_from_states=miss_from_states,
+                    name=list(guide.name))
+    fix_up_missations(tree)
+    return tree

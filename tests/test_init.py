@@ -89,3 +89,40 @@ def test_rereference_to_root_sequence():
     for i in range(tree.num_tips):
         assert np.array_equal(tree.sequence_at(i), seqs_before[i])
     tree.check_integrity()
+
+
+def test_mp_plus_timing_init_pipeline():
+    """build_initial_tree (guide + Fitch + OLS rooting, cf. utree.h:317):
+    valid canonical EMAT, tip data preserved, far fewer mutations than the
+    all-on-tip-branches greedy init."""
+    import sys
+    from delphy_tpu.init_tree import build_initial_tree
+    from delphy_tpu.phylo import build_greedy_tree
+
+    T, L = 20, 400
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=4e-3, missing_fraction=0.1, seed=9)
+    tree = build_initial_tree(ref, deltas, miss, dates, names=names,
+                              rng=np.random.default_rng(9))
+    tree.check_integrity()
+    for i in range(T):
+        got = tree.sequence_at(i)
+        missing = tree.missing_sites_at(i)
+        want = ref.copy()
+        for (l, to) in deltas[i]:
+            want[l] = to
+        for l in range(L):
+            if l not in missing:
+                assert got[l] == want[l]
+        expect_missing = set()
+        for (s, e) in miss[i]:
+            expect_missing.update(range(s, e))
+        assert missing == expect_missing
+    greedy = build_greedy_tree(ref, deltas, miss, dates, names=names,
+                               rng=np.random.default_rng(9))
+    assert tree.num_mutations() < 0.7 * greedy.num_mutations()
+    # a Run on the refined tree works end-to-end
+    from delphy_tpu.run import Run
+    run = Run(tree, seed=2, num_cells=64, local_moves_per_global_move=300)
+    run.do_mcmc_steps(1500)
+    run.check_derived_quantities(1e-5)
