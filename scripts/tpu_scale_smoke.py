@@ -5,7 +5,7 @@ t0 = time.time()
 def log(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
 import numpy as np
 from delphy_tpu.sim import simulate_dataset
-from delphy_tpu.phylo import build_greedy_tree
+from delphy_tpu.init_tree import build_initial_tree
 from delphy_tpu.run import Run
 
 def main():
@@ -15,7 +15,7 @@ def main():
         T, L, mu=1e-3/365, sample_window_days=700.0, coalescent_n0=300.0,
         missing_fraction=0.03, seed=7)
     log(f"dataset built: {sum(len(d) for d in deltas)} deltas")
-    tree = build_greedy_tree(ref, deltas, miss, dates, names=names,
+    tree = build_initial_tree(ref, deltas, miss, dates, names=names,
                              rng=np.random.default_rng(7))
     log(f"greedy init: {tree.num_mutations()} muts")
     run = Run(tree, seed=7, num_cells=400)
