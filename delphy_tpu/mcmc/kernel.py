@@ -115,7 +115,7 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
     return ts, evo, pop_params, grid, caches, ledger, key, stats
 
 
-REFORM_BATCH = 32
+REFORM_BATCH = 48
 SEQ_DISP_PER_BLOCK = 2
 
 
@@ -136,7 +136,7 @@ def run_local_sweep(ts: TreeState, caches: Caches, grid, ledger, evo, pop_params
     move-equivalents (a traced scalar) for honest throughput accounting."""
     B = REFORM_BATCH
     C = grid.num_cells
-    k_max = max(8, C // 4)
+    k_max = max(8, C // 2)
 
     def disp_body(j, carry):
         ts, grid, ledger, key = carry
