@@ -130,3 +130,35 @@ def test_mpox_run_end_to_end():
                               np.asarray(run.evo.pi))
     np.testing.assert_allclose(float(run.ledger.log_G), lg_oracle,
                                rtol=1e-6, atol=1e-4)
+
+
+def test_mpox_detects_apobec_signal():
+    """Posterior rho = mu*/mu rises far above 0 on data with strongly
+    context-enriched C->T / G->A changes (the inference target of the hack,
+    O'Toole et al; reference run.h:134-178)."""
+    rng = np.random.default_rng(17)
+    L, T_ = 2000, 14
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    part = np.asarray(apobec_context_partition(ref))
+    ctx_CG = [l for l in range(L) if part[l] == 1 and ref[l] in (C, G)]
+    deltas, miss, dates = [], [], []
+    for _ in range(T_):
+        seen = {}
+        for l in rng.choice(L, size=2, replace=False):          # background
+            seen[int(l)] = int((ref[l] + rng.integers(1, 4)) % 4)
+        for l in rng.choice(ctx_CG, size=10, replace=False):    # APOBEC
+            seen[int(l)] = T if ref[l] == C else A
+        deltas.append(sorted(seen.items()))
+        miss.append([])
+        d = float(rng.uniform(0, 300))
+        dates.append((d, d))
+    tree = build_random_tree(ref, deltas, miss, dates,
+                             names=[f"t{i}" for i in range(T_)], rng=rng)
+    run = Run(tree, seed=3, num_cells=128, local_moves_per_global_move=500,
+              mpox_hack=True)
+    rhos = []
+    for _ in range(10):
+        run.do_mcmc_steps(2000)
+        rhos.append(float(run.evo.mpox_rho))
+    run.check_derived_quantities(1e-5)
+    assert np.mean(rhos[5:]) > 1.0, f"rho stayed at {rhos}"
