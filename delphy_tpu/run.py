@@ -22,10 +22,17 @@ from .mcmc.kernel import super_step, multi_super_step
 from .mcmc import global_moves as gm
 from .mcmc.global_moves import PriorConfig
 from .mcmc.moves import Ledger
+from .parallel.partmaps import build_part_maps, pad_part_maps, host_mut_nodes, \
+    auto_num_partitions
+from .parallel.sweep import parts_multi_super_step
 
 
 def _round_cap(n: int) -> int:
     return (max(n, 64) + 127) // 128 * 128
+
+
+def _round_cap8(n: int) -> int:
+    return (max(n, 8) + 7) // 8 * 8
 
 
 class Run:
@@ -34,6 +41,7 @@ class Run:
                  topology_moves_enabled: bool = True,
                  topology_partitions: int = 0,
                  topology_parallel_processes: bool = True,
+                 device_partitions: int = 0,
                  pop_model: str = "exp", skygrid_num_parameters: int = 50,
                  skygrid_cutoff_days: float | None = None,
                  skygrid_type: int = popm.STAIRCASE,
@@ -115,11 +123,47 @@ class Run:
         tin, tout = tree.euler_positions()
         self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
 
+        # device tree-partitioning (the reference's execution parallelism,
+        # run.cpp:682-693, re-designed as vmapped/shard_map'ed part sweeps)
+        self.device_partitions = (device_partitions if device_partitions > 0
+                                  else auto_num_partitions(tree.num_tips))
+        self._host_tree = tree          # topology/t synced at repartition
+        self._n_cap_sticky = 0
+        self._m_cap_sticky = 0
+        self.pm = None
+        self._boundaries_since_repart = 0
+        self._repartition()
+
         self.key = jax.random.PRNGKey(seed)
         self.step = 0
         self.local_moves_attempted = 0
         self.ledger: Ledger | None = None
         self.last_stats = None
+
+    def _repartition(self, sync_times: bool = False):
+        """(Re)build the device partition maps from the current tree
+        (Run::repartition, run.cpp:110-190).  Called at init and after every
+        topology burst; also periodically so frozen cut-point times get
+        resampled (the slow-switching argument of run.cpp:87-108)."""
+        tree = self._host_tree
+        if sync_times:
+            tree.t = np.asarray(jax.device_get(self.ts.t), dtype=np.float64).copy()
+        P = self.device_partitions
+        pm = build_part_maps(tree, host_mut_nodes(tree, self.mut_capacity),
+                             P, self.host_rng)
+        if self._n_cap_sticky == 0:  # generous first caps: stencil-to-stencil
+            self._n_cap_sticky = _round_cap8(int(1.5 * pm.n_cap))
+            self._m_cap_sticky = _round_cap8(int(1.5 * pm.m_cap))
+        self._n_cap_sticky = max(self._n_cap_sticky, pm.n_cap)
+        self._m_cap_sticky = max(self._m_cap_sticky, pm.m_cap)
+        pm = pad_part_maps(pm, P, self._n_cap_sticky, self._m_cap_sticky,
+                           tree.num_nodes, self.mut_capacity)
+        self.pm = jax.tree.map(jnp.asarray, pm)
+        n_cap = self._n_cap_sticky
+        self._sweep_k_max = n_cap
+        self._sweep_reform_batch = max(4, n_cap // 2)
+        # nominal attempted moves per block per part (for block budgeting)
+        self._sweep_nominal = 1 + n_cap // 4 + self._sweep_reform_batch
 
     # -- parameter setters (subset of the reference's Run API) --------------
 
@@ -148,24 +192,23 @@ class Run:
         done = 0
         cadence = self.local_moves_per_global_move
         K = self.topology_burst_chunks
+        P = self.device_partitions
         while done < n_steps:
             remaining = n_steps - done
-            if remaining >= K * cadence:
-                # K boundaries in ONE dispatch: amortizes the per-dispatch
-                # host<->device latency of the tunneled TPU; the trajectory
-                # is identical to K sequential super_steps (same keys)
-                (self.ts, self.evo, self.pop, self.key, self.ledger,
-                 self.last_stats) = multi_super_step(
-                    self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
-                    cadence, self.t_max_tip, self.hyp, self.num_cells, K)
-                chunk = K * cadence
-            else:
-                chunk = min(cadence, remaining)
-                (self.ts, self.evo, self.pop, self.key, self.ledger,
-                 self.last_stats) = super_step(
-                    self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
-                    chunk, self.t_max_tip, self.hyp, self.num_cells)
+            # up to K boundaries in ONE dispatch: amortizes the per-dispatch
+            # host<->device latency of the tunneled TPU
+            boundaries = max(1, min(K, remaining // cadence))
+            chunk = min(remaining, boundaries * cadence)
+            per_boundary = (chunk + boundaries - 1) // boundaries
+            n_blocks = max(1, round(per_boundary / (P * self._sweep_nominal)))
+            (self.ts, self.evo, self.pop, self.key, self.ledger,
+             self.last_stats) = parts_multi_super_step(
+                self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
+                self.pm, n_blocks, self.t_max_tip, self.hyp, self.num_cells,
+                boundaries, self._sweep_k_max, self._sweep_reform_batch)
             self.local_moves_attempted += int(self.last_stats["local_moves_attempted"])
+            self._boundaries_since_repart += boundaries
+            repartitioned = False
             if self.topology_moves_enabled:
                 self._topo_debt += int(self.host_rng.binomial(chunk, 2.0 / 30.0))
                 threshold = max(32, K * int(cadence * 2.0 / 30.0))
@@ -174,6 +217,14 @@ class Run:
                         self._topology_burst(self._topo_debt)
                         self.local_moves_attempted += self._topo_debt
                         self._topo_debt = 0
+                        repartitioned = True
+            if (not repartitioned and P > 1
+                    and self._boundaries_since_repart >= K):
+                # periodic restencil so frozen cut-point times get resampled
+                # (the reference's stencil refresh, run.cpp:87-108)
+                self._repartition(sync_times=True)
+            if repartitioned or self._boundaries_since_repart >= K:
+                self._boundaries_since_repart = 0
             done += chunk
         self.step += n_steps
 
@@ -258,6 +309,10 @@ class Run:
                              self.fs_capacity)
         tin, tout = tree.euler_positions()
         self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
+        # the burst changed topology and repacked the mutation pool: the
+        # device partition maps must be rebuilt from the new tree
+        self._host_tree = tree
+        self._repartition()
 
     # -- observability --------------------------------------------------------
 

@@ -18,3 +18,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Free compiled executables between test modules.  XLA:CPU JIT-compiled
+    programs each hold many small code mmaps; across the whole suite the
+    process otherwise exhausts vm.max_map_count (65530) and LLVM aborts with
+    'Cannot allocate memory'."""
+    yield
+    jax.clear_caches()
