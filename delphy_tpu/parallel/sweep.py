@@ -408,7 +408,7 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
         dt, dmut = scatter_deltas(pm, N, M, dt_p, dmut_p)
     else:
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         def body(ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, pm_s, sh_, pop_):
             dt_p, dmut_p, dG, dC, cnt = sweep_deltas(
