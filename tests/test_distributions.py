@@ -1,0 +1,154 @@
+"""Statistical tests of the MCMC samplers, mirroring the reference's
+tests/distributions_tests.cpp: bounds + distribution-shape checks for the
+bounded-exponential node-time proposal and the K-truncated Poisson used by
+the mutational-history sampler; plus a Wilson-Balding move test (the
+reference implements but does not enable it, subrun.cpp:450-490 — here it is
+pinned by a ledger-delta invariant so it does not rot)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from delphy_tpu.mcmc.moves import bounded_exp_sample
+from delphy_tpu.topo.history import sample_k_truncated_poisson
+
+import oracles
+
+
+# ---------------------------------------------------------------------------
+# Bounded exponential (distributions.h:38-68)
+# ---------------------------------------------------------------------------
+
+def _bexp_samples(lam, a, b, n, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    f = jax.jit(jax.vmap(lambda k: bounded_exp_sample(
+        k, jnp.float64(lam), jnp.float64(a), jnp.float64(b))))
+    return np.asarray(f(keys))
+
+
+@pytest.mark.parametrize("lam,a,b", [
+    (2.3, 2.0, 5.0), (-2.3, 2.0, 5.0), (0.0, -1.0, 3.0),
+    (40.0, 0.0, 1.0), (-0.01, -100.0, 100.0),
+])
+def test_bounded_exp_within_bounds_and_mean(lam, a, b):
+    """Samples lie in [a,b] and their mean matches the analytic mean of
+    p(x) ∝ e^{lam x} on [a,b] within 5 sigma."""
+    n = 40_000
+    xs = _bexp_samples(lam, a, b, n)
+    assert np.all(xs >= a) and np.all(xs <= b)
+
+    if lam == 0.0:
+        mean = (a + b) / 2.0
+        var = (b - a) ** 2 / 12.0
+    else:
+        # E[x] = (b e^{lam b} - a e^{lam a})/(e^{lam b} - e^{lam a}) - 1/lam
+        # computed in a shifted frame (x-a) for numerical stability
+        w = lam * (b - a)
+        ew = math.expm1(w)
+        mean = a + ((b - a) * (ew + 1.0)) / ew - 1.0 / lam
+        var = np.var(xs)  # empirical variance is fine for the z-test scale
+    z = abs(xs.mean() - mean) / math.sqrt(max(var, 1e-30) / n)
+    assert z < 5.0, (xs.mean(), mean, z)
+
+
+def test_bounded_exp_quantiles():
+    """Empirical CDF matches the analytic inverse CDF at the quartiles
+    (a sharper shape check than the mean)."""
+    lam, a, b = 1.7, -1.0, 2.0
+    xs = _bexp_samples(lam, a, b, 40_000, seed=3)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        x_q = a + math.log1p(q * math.expm1(lam * (b - a))) / lam
+        emp = np.mean(xs <= x_q)
+        # binomial stddev
+        sd = math.sqrt(q * (1 - q) / len(xs))
+        assert abs(emp - q) < 5 * sd, (q, emp)
+
+
+def test_bounded_exp_semi_infinite():
+    """Unbounded-on-one-side usage as in the reference test: lam>0 with
+    a=-inf gives b - Expo(lam); lam<0 with b=+inf gives a + Expo(-lam).
+    The engine calls it with finite substitutes; check the tail behavior via
+    large windows."""
+    lam = 2.3
+    xs = _bexp_samples(lam, -1e6, 5.0, 20_000, seed=5)
+    assert np.all(xs <= 5.0)
+    # distance below b is Expo(lam): mean 1/lam
+    d = 5.0 - xs
+    assert abs(d.mean() - 1 / lam) < 5 * d.std() / math.sqrt(len(d))
+
+    xs = _bexp_samples(-lam, 3.0, 1e6, 20_000, seed=6)
+    assert np.all(xs >= 3.0)
+    d = xs - 3.0
+    assert abs(d.mean() - 1 / lam) < 5 * d.std() / math.sqrt(len(d))
+
+
+# ---------------------------------------------------------------------------
+# K-truncated Poisson (distributions.h:77-165)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("lam", [0.01, 0.1, 1.0, 10.0])
+@pytest.mark.parametrize("min_k", [0, 1, 2, 5, 20])
+def test_k_truncated_poisson_ratio(lam, min_k):
+    """The reference's ratio test (distributions_tests.cpp:29-67): over
+    100k samples, count(K)/count(K+1) ≈ (K+1)/lam within 3-sigma counting
+    noise, K = max(min_k, floor(lam)); every sample >= min_k."""
+    rng = np.random.default_rng(12345)
+    K = max(min_k, int(math.floor(lam)))
+    n = 100_000
+    count_K = count_K1 = 0
+    for _ in range(n):
+        k = sample_k_truncated_poisson(rng, lam, min_k)
+        assert k >= min_k
+        if k == K:
+            count_K += 1
+        elif k == K + 1:
+            count_K1 += 1
+    assert count_K >= 10 and count_K1 >= 10
+    expected = (K + 1) / lam
+    lo = (count_K - 3 * math.sqrt(count_K)) / (count_K1 + 3 * math.sqrt(count_K1))
+    hi = (count_K + 3 * math.sqrt(count_K)) / (count_K1 - 3 * math.sqrt(count_K1))
+    assert lo < expected < hi, (lo, expected, hi)
+
+
+# ---------------------------------------------------------------------------
+# Wilson-Balding (subrun.cpp:450-490; disabled by default, like the ref)
+# ---------------------------------------------------------------------------
+
+def test_wilson_balding_ledger_and_integrity():
+    """Run many Wilson-Balding proposals on a small tree: the tree stays
+    consistent and the mixer's accumulated delta_log_G matches the oracle
+    log_G difference exactly (the incremental-vs-recompute discipline)."""
+    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.phylo import build_random_tree
+    from delphy_tpu.evo import make_evo_params
+    from delphy_tpu.topo.graft import SprContext
+    from delphy_tpu.topo.mixer import TopologyMixer, HostCoalGrid, HostExpPop
+
+    T, L = 12, 80
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=4e-3, missing_fraction=0.1, seed=21)
+    rng = np.random.default_rng(77)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    evo = make_evo_params(L, mu=4e-3, kappa=2.0, pi=(0.28, 0.22, 0.26, 0.24),
+                          nu=rng.gamma(8.0, 1 / 8.0, size=L))
+
+    mixer = TopologyMixer(tree, rng, num_cells=64)
+    ctx = SprContext(tree, float(evo.mu), np.asarray(evo.nu),
+                     np.asarray(evo.q), np.asarray(evo.pi))
+    pop = HostExpPop(float(np.max(tree.t)), 500.0, 0.0, 1.0)
+    grid = HostCoalGrid(tree, pop, 64, float(np.max(tree.t)))
+    mixer.t_max_tip = float(np.max(tree.t))
+
+    lg0 = oracles.log_G(tree, float(evo.mu), np.asarray(evo.nu),
+                        np.asarray(evo.q), np.asarray(evo.pi))
+    for _ in range(400):
+        mixer._wilson_balding(ctx, grid)
+    tree.check_integrity()
+    lg1 = oracles.log_G(tree, float(evo.mu), np.asarray(evo.nu),
+                        np.asarray(evo.q), np.asarray(evo.pi))
+    np.testing.assert_allclose(lg1 - lg0, mixer.delta_log_G,
+                               rtol=1e-9, atol=1e-9)
+    assert mixer.n_accepted > 0, "WB should accept at least one move in 400"
