@@ -187,12 +187,18 @@ def main(argv=None) -> int:
     snap_every = (args.v0_delphy_snapshot_every if args.v0_delphy_snapshot_every > 0
                   else max(steps // 10, 1))
 
-    log_out = trees_out = None
+    log_out = trees_out = dphy_out = None
     if args.v0_out_log_file:
         log_out = BeastLogOutput(open(args.v0_out_log_file, "w"),
                                  mu_move_enabled=not args.v0_fix_mutation_rate,
                                  alpha_move_enabled=args.v0_site_rate_heterogeneity)
         log_out.write_headers(tree)
+    if args.v0_out_delphy_file and args.v0_out_delphy_file.endswith(".dphy"):
+        # reference-compatible binary stream (tools/delphy.cpp:188-194);
+        # any other extension keeps the engine's own npz save/resume format
+        from .io.dphy import DphyOutput
+        dphy_out = DphyOutput(open(args.v0_out_delphy_file, "wb"))
+        dphy_out.output_preamble(run, steps_per_sample=snap_every)
     if args.v0_out_trees_file:
         trees_out = BeastTreesOutput(open(args.v0_out_trees_file, "w"))
         trees_out.write_preamble(tree)
@@ -221,12 +227,18 @@ def main(argv=None) -> int:
             if args.v0_out_mcc_file and done > steps // 2:  # post-burn-in
                 sampled_trees.append(t)
         if args.v0_out_delphy_file and done % snap_every == 0:
-            from .io.snapshot import save_run
-            save_run(run, args.v0_out_delphy_file)
+            if dphy_out is not None:
+                dphy_out.output_state(run)
+            else:
+                from .io.snapshot import save_run
+                save_run(run, args.v0_out_delphy_file)
         if args.v0_paranoid:
             run.check_derived_quantities(1e-4)
     if trees_out:
         trees_out.write_epilog()
+    if dphy_out is not None:
+        dphy_out.output_epilog()
+        dphy_out.f.close()
     if args.v0_out_mcc_file and len(sampled_trees) >= 2:
         from .mcc import derive_mcc_tree, mcc_to_nexus
         mcc = derive_mcc_tree(sampled_trees, seed=args.v0_seed)

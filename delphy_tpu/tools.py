@@ -132,7 +132,16 @@ def beast_trees_to_snapshot(trees_path, out_path, in_maple=None, in_fasta=None,
     tree.check_integrity()
     run = Run(tree, seed=seed)
     run.ledger = run.calc_cur_ledger()
-    save_run(run, out_path)
+    if str(out_path).endswith(".dphy"):
+        # reference-compatible binary stream (tools/beast_trees_to_dphy.cpp)
+        from .io.dphy import DphyOutput
+        with open(out_path, "wb") as f:
+            out = DphyOutput(f)
+            out.output_preamble(run, steps_per_sample=1)
+            out.output_state(run)
+            out.output_epilog()
+    else:
+        save_run(run, out_path)
     return label, tree
 
 
