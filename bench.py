@@ -22,24 +22,35 @@ def main():
     from delphy_tpu.init_tree import build_initial_tree
     from delphy_tpu.run import Run
 
+    def note(msg):
+        print(f"[bench +{time.time() - t_start:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    t_start = time.time()
     # Ebola-scale: 81 tips x ~19k sites
     T, L = 81, 18959
     ref, deltas, miss, dates, names, _ = simulate_dataset(
         T, L, mu=1.2e-3 / 365.0 * 19000 / L, sample_window_days=500.0,
         missing_fraction=0.01, seed=42)
+    note("dataset simulated")
     tree = build_initial_tree(ref, deltas, miss, dates, names=names,
                               rng=np.random.default_rng(42))
+    note("tree built")
     run = Run(tree, seed=1, num_cells=400)
+    note(f"Run constructed (P={run.device_partitions})")
 
     target_seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     # a whole multi-boundary dispatch per iteration (one host sync each)
     n = run.local_moves_per_global_move * run.topology_burst_chunks
     run.do_mcmc_steps(10)  # compile + warm the single-boundary path
+    note("1-boundary warmup done")
     run.do_mcmc_steps(n)   # compile + warm the multi-boundary path
+    note("multi-boundary warmup done")
     t0 = time.time()
     base = run.local_moves_attempted
     while time.time() - t0 < target_seconds:
         run.do_mcmc_steps(n)
+        note(f"dispatch done ({run.local_moves_attempted - base} moves)")
     dt = time.time() - t0
     moves_per_s = (run.local_moves_attempted - base) / dt
 
@@ -57,4 +68,13 @@ def main():
 if __name__ == "__main__":
     main()
     sys.stdout.flush()
-    os._exit(0)  # the axon tunnel keeps non-daemon threads alive
+    # destroy the PJRT client FIRST so the axon terminal sees a clean
+    # disconnect and releases the chip (otherwise the next client blocks
+    # until the server's claim timeout, ~5-10 min); then hard-exit because
+    # the tunnel keeps non-daemon threads alive
+    try:
+        import jax.extend.backend
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+    os._exit(0)

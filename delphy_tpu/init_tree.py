@@ -57,11 +57,29 @@ def _fitch_states(T, N, root, children_ro, post, tip_state, tip_missing):
 def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
                        tip_miss_intervals: list, tip_dates: list,
                        names: list | None = None,
-                       rng: np.random.Generator | None = None) -> FlatTree:
-    """Guide topology -> Fitch factoring -> OLS rooting -> timed FlatTree."""
+                       rng: np.random.Generator | None = None,
+                       native: bool | None = None) -> FlatTree:
+    """Guide topology -> refinement -> OLS rooting -> timed FlatTree.
+
+    Two engines produce the rooted mutation-annotated topology:
+    - the native C++ pipeline (native/init_native.cpp): guide tree by
+      best-first parsimony placement, nearest-first rebuild, SPR refinement,
+      O(N) rerooting DP — the scalable default (reference utree.h:235-317);
+    - the Python fallback below: O(T^2) greedy guide + Fitch factoring.
+    """
+    import os
     from .phylo import build_greedy_tree
 
     rng = rng or np.random.default_rng(0)
+    T = len(tip_deltas)
+    if native is None:
+        native = T >= 12 or os.environ.get("DELPHY_TPU_NATIVE_INIT") == "1"
+    if native and T >= 4:
+        out = _build_initial_tree_native(
+            np.asarray(ref_seq, dtype=np.int8), tip_deltas,
+            tip_miss_intervals, tip_dates, names, rng)
+        if out is not None:
+            return out
     ref_seq = np.asarray(ref_seq, dtype=np.int8)
     T = len(tip_deltas)
     L = len(ref_seq)
@@ -288,5 +306,128 @@ def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
                     mutations=mutations, miss_intervals=miss_intervals,
                     miss_from_states=miss_from_states,
                     name=list(guide.name))
+    fix_up_missations(tree)
+    return tree
+
+
+def _build_initial_tree_native(ref_seq, tip_deltas, tip_miss_intervals,
+                               tip_dates, names, rng) -> FlatTree | None:
+    """Timing + missation phases on top of the native topology pipeline."""
+    from .native.init_loader import build_initial_topology_native
+
+    out = build_initial_topology_native(
+        ref_seq, tip_deltas, tip_miss_intervals, tip_dates,
+        seed=int(rng.integers(2 ** 63)), refine_passes=10)
+    if out is None:
+        return None
+    (parent, children, R, mut_off, mut_site, mut_from, mut_to,
+     root_deltas, mu_per_day, t_mrca, _r2) = out
+    T = len(tip_deltas)
+    N = 2 * T - 1
+    L = len(ref_seq)
+
+    # per-node mutation-count depth from the root (for regression timing)
+    n_muts = (mut_off[1:] - mut_off[:-1]).astype(np.float64)
+    order = []           # pre-order
+    depth = np.zeros(N)
+    stack = [R]
+    while stack:
+        n = stack.pop()
+        order.append(n)
+        for c in children[n]:
+            if c != NO_NODE:
+                depth[c] = depth[n] + n_muts[c]
+                stack.append(int(c))
+
+    t = np.zeros(N)
+    t_min = np.full(N, -np.inf)
+    t_max = np.full(N, np.inf)
+    slope = max(mu_per_day, 1.0 / 26.0)
+    for i in range(T):
+        lo, hi = tip_dates[i]
+        t_min[i], t_max[i] = lo, hi
+        t[i] = rng.uniform(lo, hi) if hi > lo else lo
+    for n in order:
+        if children[n, 0] != NO_NODE:
+            t[n] = t_mrca + depth[n] / slope
+    # reversed pre-order: children before parents => one clamping pass
+    for n in order[::-1]:
+        p = int(parent[n])
+        if p != NO_NODE and t[p] >= t[n]:
+            t[p] = t[n] - rng.uniform(0.5, 1.5)
+
+    mutations = [[] for _ in range(N)]
+    for n in range(N):
+        if n == R:
+            continue
+        p = int(parent[n])
+        lo, hi = mut_off[n], mut_off[n + 1]
+        if hi == lo:
+            continue
+        times = np.sort(rng.uniform(t[p], t[n], size=hi - lo))
+        branch = [Mutation(site=int(mut_site[k]), from_=int(mut_from[k]),
+                           to=int(mut_to[k]), t=float(times[k - lo]))
+                  for k in range(lo, hi)]
+        branch.sort(key=lambda m: m.key())
+        mutations[n] = branch
+    mutations[R] = [Mutation(site=l, from_=int(ref_seq[l]), to=s,
+                             t=ROOT_DELTA_T)
+                    for l, s in sorted(root_deltas.items())]
+
+    miss_intervals = [[] for _ in range(N)]
+    miss_from_states = [{} for _ in range(N)]
+    for i in range(T):
+        miss_intervals[i] = sorted(tip_miss_intervals[i])
+
+    # missation from-states: DFS with a running ref->here diff; at each tip,
+    # record diff states at its missing sites (state just above the tip)
+    diff = dict(root_deltas)
+    # iterative DFS with undo stacks
+    stack = [(int(R), False)]
+    undo = []
+    while stack:
+        n, leaving = stack.pop()
+        if leaving:
+            for (l, old) in undo.pop():
+                if old is None:
+                    diff.pop(l, None)
+                else:
+                    diff[l] = old
+            continue
+        if n != R:
+            changes = []
+            for m in mutations[n]:
+                changes.append((m.site, diff.get(m.site)))
+                if m.to == int(ref_seq[m.site]):
+                    diff.pop(m.site, None)
+                else:
+                    diff[m.site] = m.to
+            undo.append(changes)
+            stack.append((n, True))
+        if children[n, 0] != NO_NODE:
+            stack.append((int(children[n, 0]), False))
+            stack.append((int(children[n, 1]), False))
+        elif n < T and miss_intervals[n]:
+            ivs = miss_intervals[n]
+            if len(diff) <= 64 * len(ivs):
+                for l, s in diff.items():
+                    for (a, b) in ivs:
+                        if a <= l < b:
+                            miss_from_states[n][l] = s
+                            break
+            else:
+                for (a, b) in ivs:
+                    for l in range(a, b):
+                        if l in diff:
+                            miss_from_states[n][l] = diff[l]
+
+    tree = FlatTree(parent=parent.astype(np.int32),
+                    children=children.astype(np.int32),
+                    t=t, t_min=t_min, t_max=t_max, root=int(R),
+                    ref_seq=ref_seq,
+                    mutations=mutations, miss_intervals=miss_intervals,
+                    miss_from_states=miss_from_states,
+                    name=list(names) if names
+                    else [f"t{i}" for i in range(T)])
     fix_up_missations(tree)
     return tree

@@ -22,6 +22,7 @@ loop, run.cpp:195-275, turned into a collective).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -50,6 +51,7 @@ class PartCtx(NamedTuple):
     mut_node_loc: jnp.ndarray  # i32[m_cap]
     mut_valid: jnp.ndarray     # bool[m_cap]
     mut_site: jnp.ndarray      # i32[m_cap]
+    mut_single: jnp.ndarray    # bool[m_cap] only occurrence of (node, site)
     lam: jnp.ndarray           # f64[n_cap] lambda_i at part nodes
     dlam_miss: jnp.ndarray     # f64[n_cap]
     slope: jnp.ndarray         # f64[m_cap] mu*nu*(qa[from]-qa[to]) per slot
@@ -150,7 +152,9 @@ def _single_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys):
 
 
 def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
-                      k_max: int, cells_per_block: int = 4):
+                      k_max: int,
+                      cells_per_block: int = int(os.environ.get(
+                          "DELPHY_TPU_CPB", "4"))):
     """Cell-block-colored batched displacement within one part (the part
     analogue of mcmc/moves.batched_node_displace, with the vsc delta).
     Exactness: selected nodes' proposal windows lie in disjoint cell blocks of
@@ -245,38 +249,31 @@ def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
     return (t, mut_t, k_p, dG, dC, cnt)
 
 
-def _batched_reform(ctx: PartCtx, carry, keys, reform_batch: int):
-    """Branch-mutation-time resampling on `reform_batch` distinct random
-    branches of this part (part analogue of mcmc/moves.batched_branch_reform;
-    semantics: subrun.cpp:287-320, randomize_branch_mutation_times).  Distinct
-    branches touch disjoint log_G terms, so batch-accepting is exact."""
+def _batched_reform(ctx: PartCtx, carry, keys):
+    """Branch-mutation-time resampling on ALL of this part's branches at once
+    (semantics: subrun.cpp:287-320, randomize_branch_mutation_times).
+    Distinct branches touch disjoint log_G terms, so batch-accepting is exact.
+
+    Sort-free: mutation times are redrawn i.i.d. Uniform(t_P, t_X] at slots
+    that are the ONLY occurrence of their (branch, site) pair (ctx.mut_single,
+    classified once per boundary — the pool is static within a sweep, so the
+    proposal kernel is state-independent and detailed balance holds).  The
+    rare >=2-same-site-per-branch slots (the reference's joint-redraw+sort
+    case) keep their times here; the host topology path still refreshes them."""
     t, mut_t, k_p, dG, dC, cnt = carry
-    k_sel, k_t, k_acc = keys
+    k_t, k_acc = keys
     n_cap = t.shape[0]
     m_cap = mut_t.shape[0]
 
-    perm = jax.random.permutation(k_sel, n_cap)
-    chosen = perm[:reform_batch]
-    in_batch = (jnp.zeros(n_cap, bool).at[chosen].set(True)
-                & (jnp.arange(n_cap) < ctx.n_nodes))
+    in_batch = (jnp.arange(n_cap) < ctx.n_nodes)
     in_batch = in_batch.at[ctx.part_root].set(False)
 
     nl = jnp.maximum(ctx.mut_node_loc, 0)
-    mut_in = in_batch[nl] & ctx.mut_valid
+    mut_in = in_batch[nl] & ctx.mut_valid & ctx.mut_single
     t_P = t[jnp.maximum(ctx.parent[nl], 0)]
     t_X = t[nl]
     u = jax.random.uniform(k_t, (m_cap,), t.dtype, 1e-16, 1.0)
-    raw = t_P + u * (t_X - t_P)
-
-    # per-(branch, site) order preservation via double lexsort; the 3-key
-    # sort (node, site, time) avoids the float-precision collisions a fused
-    # node*L+site key would hit at scale
-    gnode = jnp.where(mut_in, nl, m_cap + n_cap)
-    gsite = jnp.maximum(ctx.mut_site, 0)
-    perm_old = jnp.lexsort((mut_t, gsite, gnode))
-    perm_new = jnp.lexsort((raw, gsite, gnode))
-    matched = jnp.zeros(m_cap, t.dtype).at[perm_old].set(raw[perm_new])
-    new_mut_t = jnp.where(mut_in, matched, mut_t)
+    new_mut_t = jnp.where(mut_in, t_P + u * (t_X - t_P), mut_t)
 
     per_slot = jnp.where(mut_in, -ctx.slope * (new_mut_t - mut_t), 0.0)
     delta_per_node = jnp.zeros(n_cap, t.dtype).at[nl].add(per_slot)
@@ -300,12 +297,12 @@ def part_sweep(ctx: PartCtx, k_p, t_p, mut_t, key, sh: SweepShared,
 
     def block_body(i, carry):
         t, mut_t, k_p, dG, dC, key, cnt = carry
-        key, k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11, k12 = \
-            jax.random.split(key, 13)
+        key, k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11 = \
+            jax.random.split(key, 12)
         c = (t, mut_t, k_p, dG, dC, cnt)
         c = _single_displace(ctx, sh, pop_params, c, (k1, k2, k3, k4, k5))
         c = _batched_displace(ctx, sh, pop_params, c, (k6, k7, k8, k9), k_max)
-        c = _batched_reform(ctx, c, (k10, k11, k12), reform_batch)
+        c = _batched_reform(ctx, c, (k10, k11))
         t, mut_t, k_p, dG, dC, cnt = c
         return (t, mut_t, k_p, dG, dC, key, cnt)
 
@@ -330,12 +327,25 @@ def build_part_ctx(pm, ts: TreeState, caches: Caches, evo: EvoParams, b):
     qa = evo.qa_tab
     slope = evo.mu * evo.nu[jnp.maximum(site, 0)] * (
         qa[mpart, jnp.maximum(frm, 0)] - qa[mpart, jnp.maximum(to, 0)])
+    valid = pm.mut_map >= 0
+    # slots that are the only occurrence of their (branch, site) pair in the
+    # part, via a hashed-key histogram (static within a sweep — the pool only
+    # changes at topology bursts).  A hash collision can only LOCK a slot
+    # (count inflated), never falsely mark a multi-pair single; 32x buckets
+    # keep the spurious-lock rate ~1-2%.
+    L = ts.num_sites
+    B = 32 * pm.mut_map.shape[-1] + 1
+    bucket = (pm.mut_node_local.astype(jnp.int64) * (L + 1)
+              + jnp.maximum(site, 0).astype(jnp.int64)) % B
+    counts = jnp.zeros(B, jnp.int32).at[
+        jnp.where(valid, bucket, B - 1)].add(1)
+    single = valid & (counts[bucket] == 1) & (bucket != B - 1)
     return PartCtx(
         parent=pm.parent, children=pm.children, part_root=pm.part_root,
         is_run_root=pm.is_run_root, n_leaves=pm.n_leaves, n_nodes=pm.n_nodes,
         t_min=pm.t_min, t_max=pm.t_max,
-        mut_node_loc=pm.mut_node_local, mut_valid=pm.mut_map >= 0,
-        mut_site=site,
+        mut_node_loc=pm.mut_node_local, mut_valid=valid,
+        mut_site=site, mut_single=single,
         lam=caches.lambda_i[nm], dlam_miss=caches.dlam_miss[nm],
         slope=slope, b=b)
 

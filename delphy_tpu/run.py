@@ -35,6 +35,10 @@ def _round_cap8(n: int) -> int:
     return (max(n, 8) + 7) // 8 * 8
 
 
+def _round16(n: int) -> int:
+    return (max(n, 16) + 15) // 16 * 16
+
+
 class Run:
     def __init__(self, tree: FlatTree, seed: int = 0, hyp: PriorConfig = PriorConfig(),
                  num_cells: int = 512, local_moves_per_global_move: int = -1,
@@ -152,18 +156,24 @@ class Run:
         pm = build_part_maps(tree, host_mut_nodes(tree, self.mut_capacity),
                              P, self.host_rng)
         if self._n_cap_sticky == 0:  # generous first caps: stencil-to-stencil
-            self._n_cap_sticky = _round_cap8(int(1.5 * pm.n_cap))
-            self._m_cap_sticky = _round_cap8(int(1.5 * pm.m_cap))
-        self._n_cap_sticky = max(self._n_cap_sticky, pm.n_cap)
-        self._m_cap_sticky = max(self._m_cap_sticky, pm.m_cap)
+            self._n_cap_sticky = _round16(2 * pm.n_cap + 16)
+            self._m_cap_sticky = _round16(2 * pm.m_cap + 16)
+        # quantized growth so cap bumps (=> recompiles) are rare
+        if pm.n_cap > self._n_cap_sticky:
+            self._n_cap_sticky = _round16(int(1.5 * pm.n_cap))
+        if pm.m_cap > self._m_cap_sticky:
+            self._m_cap_sticky = _round16(int(1.5 * pm.m_cap))
         pm = pad_part_maps(pm, P, self._n_cap_sticky, self._m_cap_sticky,
                            tree.num_nodes, self.mut_capacity)
         self.pm = jax.tree.map(jnp.asarray, pm)
         n_cap = self._n_cap_sticky
         self._sweep_k_max = n_cap
-        self._sweep_reform_batch = max(4, n_cap // 2)
-        # nominal attempted moves per block per part (for block budgeting)
-        self._sweep_nominal = 1 + n_cap // 4 + self._sweep_reform_batch
+        self._sweep_reform_batch = max(4, n_cap // 2)  # budgeting only
+        # initial attempted-moves-per-(block x all parts) estimate; refined
+        # online from sweep stats (see do_mcmc_steps)
+        if not hasattr(self, "_per_block_rate") or self._per_block_rate <= 1.0:
+            P = self.device_partitions
+            self._per_block_rate = float(P * (1 + n_cap // 4 + n_cap // 2))
 
     # -- parameter setters (subset of the reference's Run API) --------------
 
@@ -200,13 +210,21 @@ class Run:
             boundaries = max(1, min(K, remaining // cadence))
             chunk = min(remaining, boundaries * cadence)
             per_boundary = (chunk + boundaries - 1) // boundaries
-            n_blocks = max(1, round(per_boundary / (P * self._sweep_nominal)))
+            # block budget from the MEASURED attempted-moves-per-block rate
+            # (feedback, since the batched kernels' fill factor is
+            # data-dependent); n_blocks is a traced arg — no recompiles
+            n_blocks = max(1, min(512,
+                                  round(per_boundary / self._per_block_rate)))
             (self.ts, self.evo, self.pop, self.key, self.ledger,
              self.last_stats) = parts_multi_super_step(
                 self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
                 self.pm, n_blocks, self.t_max_tip, self.hyp, self.num_cells,
                 boundaries, self._sweep_k_max, self._sweep_reform_batch)
-            self.local_moves_attempted += int(self.last_stats["local_moves_attempted"])
+            attempted = int(self.last_stats["local_moves_attempted"])
+            measured = attempted / (boundaries * n_blocks)
+            self._per_block_rate = max(
+                1.0, 0.7 * self._per_block_rate + 0.3 * measured)
+            self.local_moves_attempted += attempted
             self._boundaries_since_repart += boundaries
             repartitioned = False
             if self.topology_moves_enabled:
