@@ -18,13 +18,19 @@ import numpy as np
 import jax.numpy as jnp
 
 MAGIC = "delphy-tpu-snapshot"
-VERSION = 2
+VERSION = 3
 
 
 def save_run(run, path):
     from .. import pop as popm
     arrays = {f"ts_{k}": np.asarray(v) for k, v in run.ts._asdict().items()}
     arrays["key"] = np.asarray(run.key)
+    # driver-adaptive state (partition maps, feedback rates, capacities):
+    # required for bit-identical resume — pm was built with host RNG draws
+    # that cannot be replayed, so it is serialized outright
+    if run.pm is not None:
+        for k, v in run.pm._asdict().items():
+            arrays[f"pm_{k}"] = np.asarray(v)
     for k in ("mu", "kappa", "pi", "q", "alpha", "nu", "part", "q_tab",
               "mpox_rho"):
         arrays[f"evo_{k}"] = np.asarray(getattr(run.evo, k))
@@ -50,6 +56,26 @@ def save_run(run, path):
         "topology_moves_enabled": run.topology_moves_enabled,
         "t_max_tip": run.t_max_tip,
         "host_rng_state": _rng_state_to_json(run.host_rng),
+        "driver": {
+            "device_partitions": run.device_partitions,
+            "topology_partitions": run.topology_partitions,
+            "topology_parallel_processes": run.topology_parallel_processes,
+            "topology_burst_chunks": run.topology_burst_chunks,
+            "mpox_hack": run.mpox_hack,
+            "mut_capacity": run.mut_capacity,
+            "miss_capacity": run.miss_capacity,
+            "fs_capacity": run.fs_capacity,
+            "n_cap_sticky": run._n_cap_sticky,
+            "m_cap_sticky": run._m_cap_sticky,
+            "per_block_rate": run._per_block_rate,
+            "topo_debt": run._topo_debt,
+            "boundaries_since_repart": run._boundaries_since_repart,
+            "sweep_k_max": run._sweep_k_max,
+            "sweep_reform_batch": run._sweep_reform_batch,
+            "local_moves_attempted": run.local_moves_attempted,
+            "topology_accepted": run.topology_accepted,
+            "topology_proposed": run.topology_proposed,
+        },
     }
     arrays["_meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
@@ -74,13 +100,44 @@ def load_run(path):
                       if k.startswith("ts_")})
     tree = unpack_state(ts, names=meta["names"])
     hyp = PriorConfig(**meta["hyp"])
+    drv = meta.get("driver", {})
     run = Run(tree, seed=0, hyp=hyp, num_cells=meta["num_cells"],
               local_moves_per_global_move=meta["local_moves_per_global_move"],
               topology_moves_enabled=meta["topology_moves_enabled"],
               pop_model=meta["pop"]["model"],
+              **({"device_partitions": drv["device_partitions"],
+                  "topology_partitions": drv["topology_partitions"],
+                  "topology_parallel_processes":
+                      drv["topology_parallel_processes"],
+                  "mpox_hack": drv["mpox_hack"]} if drv else {}),
               **({"skygrid_num_parameters": len(data["pop_gamma"]),
                   "skygrid_type": meta["pop"]["type"]}
                  if meta["pop"]["model"] == "skygrid" else {}))
+    if drv:
+        # exact driver-adaptive state (v3): the packed arrays, partition maps
+        # and feedback scalars as-of-save — bit-identical resume depends on
+        # every one of these (they steer n_blocks, kernel shapes and the
+        # repartition cadence)
+        from ..parallel.partmaps import PartMaps
+        run.mut_capacity = drv["mut_capacity"]
+        run.miss_capacity = drv["miss_capacity"]
+        run.fs_capacity = drv["fs_capacity"]
+        run.ts = ts
+        if any(k.startswith("pm_") for k in data):
+            run.pm = PartMaps(**{k[3:]: jnp.asarray(v)
+                                 for k, v in data.items()
+                                 if k.startswith("pm_")})
+        run.topology_burst_chunks = drv["topology_burst_chunks"]
+        run._n_cap_sticky = drv["n_cap_sticky"]
+        run._m_cap_sticky = drv["m_cap_sticky"]
+        run._per_block_rate = drv["per_block_rate"]
+        run._topo_debt = drv["topo_debt"]
+        run._boundaries_since_repart = drv["boundaries_since_repart"]
+        run._sweep_k_max = drv["sweep_k_max"]
+        run._sweep_reform_batch = drv["sweep_reform_batch"]
+        run.local_moves_attempted = drv["local_moves_attempted"]
+        run.topology_accepted = drv["topology_accepted"]
+        run.topology_proposed = drv["topology_proposed"]
     L = int(np.asarray(data["evo_nu"]).shape[0])
     part = (jnp.asarray(data["evo_part"]) if "evo_part" in data
             else jnp.zeros((L,), jnp.int32))

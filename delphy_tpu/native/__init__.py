@@ -30,15 +30,16 @@ f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
 
 
 def _build() -> str | None:
+    flags = ["-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
     with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        tag = hashlib.sha256(f.read() + " ".join(flags).encode()).hexdigest()[:16]
     cache = os.path.join(os.path.expanduser("~"), ".cache", "delphy_tpu_native")
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, f"_topo_native_{tag}.so")
     if os.path.exists(so):
         return so
     tmp = so + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp]
+    cmd = ["g++", *flags, _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, so)

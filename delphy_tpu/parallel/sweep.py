@@ -154,7 +154,7 @@ def _single_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys):
 def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
                       k_max: int,
                       cells_per_block: int = int(os.environ.get(
-                          "DELPHY_TPU_CPB", "4"))):
+                          "DELPHY_TPU_CPB", "16"))):
     """Cell-block-colored batched displacement within one part (the part
     analogue of mcmc/moves.batched_node_displace, with the vsc delta).
     Exactness: selected nodes' proposal windows lie in disjoint cell blocks of
