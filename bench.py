@@ -54,7 +54,11 @@ def main():
     dt = time.time() - t0
     moves_per_s = (run.local_moves_attempted - base) / dt
 
-    run.check_derived_quantities(0.5)  # f32 within-sweep drift; reset each boundary
+    # f32 within-window drift bound: measured ~2e-3 at |log_G|~1e4 per
+    # boundary window (scripts/f32_study.py), scaled to Ebola |log_G|~4.5e4
+    # with 5x headroom.  The ledger is fully re-derived each global boundary,
+    # so this bounds ALL incremental error the invariant can legitimately see.
+    run.check_derived_quantities(0.05)
 
     baseline = 0.5e6  # reference Ebola steps/s on 8-vCPU c5a.2xlarge
     print(json.dumps({

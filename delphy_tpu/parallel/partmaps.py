@@ -128,6 +128,10 @@ def auto_num_partitions(num_tips: int, max_parts: int = 32) -> int:
     threads-as-partitions default (tools/delphy.cpp:130-132), scaled for
     SIMD-width device parallelism; stencil generation needs >=10 branches
     per part (tree_partitioning.h:139-194)."""
+    import os
+    env = os.environ.get("DELPHY_TPU_P", "")
+    if env:
+        return max(1, int(env))
     return max(1, min(num_tips // 10, max_parts))
 
 

@@ -157,14 +157,22 @@ def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
                           "DELPHY_TPU_CPB", "16"))):
     """Cell-block-colored batched displacement within one part (the part
     analogue of mcmc/moves.batched_node_displace, with the vsc delta).
-    Exactness: selected nodes' proposal windows lie in disjoint cell blocks of
-    this part's k_p and no parent-child pairs are selected, so their
-    log-posterior terms are disjoint and the batch composes exactly."""
+
+    Every movable node whose current time lies on the grid is a candidate:
+    its proposal window is CLIPPED to the offset-colored cell block containing
+    its current time.  The clipped window's bounds do not depend on the node's
+    own time (block edges + neighbor/mutation bounds only), and the reverse
+    proposal is clipped to the SAME block, so the restricted bounded-exp
+    normalizers cancel and the Hastings ratio — hence the delta-coal-only
+    acceptance below — is unchanged.  Exactness of batching: one winner per
+    block, accepted paths stay inside their own block (disjoint coalescent
+    cells), and no parent-child pairs are selected, so the log-posterior
+    terms are disjoint and the batch composes exactly."""
     t, mut_t, k_p, dG, dC, cnt = carry
     k_off, k_pri, k_prop, k_acc = keys
     n_cap = t.shape[0]
     C = k_p.shape[0]
-    n_blocks = C // cells_per_block
+    n_blocks = C // cells_per_block + 1
 
     own_max, child_min = _pool_minmax_times(ctx.mut_node_loc, ctx.mut_valid,
                                             mut_t, n_cap)
@@ -190,18 +198,17 @@ def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
     movable = valid_node & (nodes != ctx.part_root) & (t_lo < t_hi)
 
     offset = jax.random.randint(k_off, (), 0, cells_per_block)
-    rel_lo = (t_lo - sh.t_lo) / sh.t_step
-    rel_hi = (t_hi - sh.t_lo) / sh.t_step
-    cell_lo = jnp.floor(rel_lo).astype(jnp.int32) + offset
-    cell_hi = jnp.floor(rel_hi).astype(jnp.int32) + offset
-    blk_lo = jnp.where(cell_lo >= 0, cell_lo // cells_per_block, -1)
-    blk_hi = jnp.where(cell_hi >= 0, cell_hi // cells_per_block, -1)
-    in_grid = (cell_lo >= 0) & (cell_hi < C)
-    fits = movable & in_grid & (blk_lo == blk_hi)
+    cell_now = jnp.floor((t - sh.t_lo) / sh.t_step).astype(jnp.int32)
+    in_grid = (cell_now >= 0) & (cell_now < C)
+    blk = jnp.clip((cell_now + offset) // cells_per_block, 0, n_blocks - 1)
+    blk_t_lo = sh.t_lo + (blk * cells_per_block - offset) * sh.t_step
+    blk_t_hi = blk_t_lo + cells_per_block * sh.t_step
+    win_lo = jnp.maximum(t_lo, blk_t_lo)
+    win_hi = jnp.minimum(t_hi, blk_t_hi)
+    fits = movable & in_grid & (win_lo < win_hi)
 
     pri = jax.random.uniform(k_pri, (n_cap,), t.dtype, 0.0, 1.0)
     pri = jnp.where(fits, pri, -1.0)
-    blk = jnp.clip(blk_lo, 0, n_blocks - 1)
     best = jnp.full(n_blocks, -1.0, t.dtype).at[blk].max(pri)
     selected = fits & (pri >= 0.0) & (pri == best[blk])
     selected = selected & ~(selected[safe_par] & (ctx.parent >= 0))
@@ -216,8 +223,8 @@ def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
     lam_b1 = jnp.where(sc1 >= 0, lam + ctx.dlam_miss[jnp.maximum(sc1, 0)], 0.0)
     d = -lam + lam_b0 + lam_b1
 
-    a = t_lo[si]
-    b = t_hi[si]
+    a = win_lo[si]
+    b = win_hi[si]
     old_t = t[si]
     u = jax.random.uniform(k_prop, (k_max,), t.dtype, 1e-300, 1.0)
     ltr = d * (b - a)
@@ -288,20 +295,27 @@ def _batched_reform(ctx: PartCtx, carry, keys):
     return (t, mut_t, k_p, dG, dC, cnt)
 
 
+_DISPLACE_ROUNDS = int(os.environ.get("DELPHY_TPU_DISPLACE_ROUNDS", "1"))
+
+
 def part_sweep(ctx: PartCtx, k_p, t_p, mut_t, key, sh: SweepShared,
                pop_params, n_blocks, k_max: int, reform_batch: int):
     """One part's whole local sweep: n_blocks blocks of
-    (single displace, batched displace, batched reform)."""
+    (single displace, R x batched displace, batched reform).  Each batched
+    round draws an independent color offset, so repeating it composes exactly
+    (it is the same kernel applied R times)."""
     count0 = (ctx.part_root * 0).astype(jnp.int64)
     zero = t_p[0] * 0.0
 
     def block_body(i, carry):
         t, mut_t, k_p, dG, dC, key, cnt = carry
-        key, k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11 = \
-            jax.random.split(key, 12)
+        key, k1, k2, k3, k4, k5, k10, k11 = jax.random.split(key, 8)
         c = (t, mut_t, k_p, dG, dC, cnt)
         c = _single_displace(ctx, sh, pop_params, c, (k1, k2, k3, k4, k5))
-        c = _batched_displace(ctx, sh, pop_params, c, (k6, k7, k8, k9), k_max)
+        for r in range(_DISPLACE_ROUNDS):
+            key, k6, k7, k8, k9 = jax.random.split(key, 5)
+            c = _batched_displace(ctx, sh, pop_params, c, (k6, k7, k8, k9),
+                                  k_max)
         c = _batched_reform(ctx, c, (k10, k11))
         t, mut_t, k_p, dG, dC, cnt = c
         return (t, mut_t, k_p, dG, dC, key, cnt)

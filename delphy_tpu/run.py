@@ -271,7 +271,10 @@ class Run:
                          np.asarray(evo_h.q), np.asarray(evo_h.pi))
         part, q_tab = np.asarray(evo_h.part), np.asarray(evo_h.q_tab)
 
+        import os
         P = self._topology_num_parts()
+        if os.environ.get("DELPHY_TPU_TOPO_SINGLE", "0") == "1":
+            P = 1
         if P > 1 and n_moves >= 16 * P:
             # partitioned phase: the very-scalable augmented prior decouples
             # parts, which run in parallel worker processes (the reference's
