@@ -55,14 +55,16 @@ def bounded_exp_sample(key, lam, a, b):
     u = jax.random.uniform(key, (), dtype=jnp.float64, minval=1e-300, maxval=1.0)
     ltr = lam * (b - a)
     safe_lam = jnp.where(lam == 0.0, 1.0, lam)
-    # stable middle branch: clamp exponent to avoid overflow (selected away)
-    ltr_c = jnp.clip(ltr, -100.0, 100.0)
+    # stable middle branch: clamp exponent to avoid overflow (selected away).
+    # Threshold 80 keeps expm1 finite in f32 (overflows at ~88.7); switching
+    # to the asymptotic branch at 80 introduces error ~e^-80, negligible.
+    ltr_c = jnp.clip(ltr, -80.0, 80.0)
     mid = a + jnp.log1p(u * jnp.expm1(ltr_c)) / safe_lam
     hi = b + jnp.log(u) / safe_lam   # lam > 0, ltr >> 1
     lo = a + jnp.log(u) / safe_lam   # lam < 0, ltr << -1
     x = jnp.where(lam == 0.0, a + u * (b - a),
-                  jnp.where((lam > 0.0) & (ltr > 100.0), hi,
-                            jnp.where((lam < 0.0) & (ltr < -100.0), lo, mid)))
+                  jnp.where((lam > 0.0) & (ltr > 80.0), hi,
+                            jnp.where((lam < 0.0) & (ltr < -80.0), lo, mid)))
     return jnp.clip(x, a, b)
 
 
@@ -276,13 +278,14 @@ def batched_node_displace(ts: TreeState, caches: Caches, grid, ledger: Ledger,
     u = jax.random.uniform(k_prop, (k_max,), jnp.float64, 1e-300, 1.0)
     ltr = d * (b - a)
     safe_d = jnp.where(d == 0.0, 1.0, d)
-    ltr_c = jnp.clip(ltr, -100.0, 100.0)
+    # threshold 80: expm1 overflows f32 at ~88.7; asymptotic error ~e^-80
+    ltr_c = jnp.clip(ltr, -80.0, 80.0)
     mid = a + jnp.log1p(u * jnp.expm1(ltr_c)) / safe_d
     hi_br = b + jnp.log(u) / safe_d
     lo_br = a + jnp.log(u) / safe_d
     new_t = jnp.where(d == 0.0, a + u * (b - a),
-                      jnp.where((d > 0.0) & (ltr > 100.0), hi_br,
-                                jnp.where((d < 0.0) & (ltr < -100.0), lo_br, mid)))
+                      jnp.where((d > 0.0) & (ltr > 80.0), hi_br,
+                                jnp.where((d < 0.0) & (ltr < -80.0), lo_br, mid)))
     new_t = jnp.clip(new_t, a, b)
     in_bounds = slot_ok & (new_t > a) & (new_t < b)
 

@@ -229,13 +229,14 @@ def _batched_displace(ctx: PartCtx, sh: SweepShared, pop_params, carry, keys,
     u = jax.random.uniform(k_prop, (k_max,), t.dtype, 1e-300, 1.0)
     ltr = d * (b - a)
     safe_d = jnp.where(d == 0.0, 1.0, d)
-    ltr_c = jnp.clip(ltr, -100.0, 100.0)
+    # threshold 80: expm1 overflows f32 at ~88.7; asymptotic error ~e^-80
+    ltr_c = jnp.clip(ltr, -80.0, 80.0)
     mid = a + jnp.log1p(u * jnp.expm1(ltr_c)) / safe_d
     hi_br = b + jnp.log(u) / safe_d
     lo_br = a + jnp.log(u) / safe_d
     new_t = jnp.where(d == 0.0, a + u * (b - a),
-                      jnp.where((d > 0.0) & (ltr > 100.0), hi_br,
-                                jnp.where((d < 0.0) & (ltr < -100.0), lo_br, mid)))
+                      jnp.where((d > 0.0) & (ltr > 80.0), hi_br,
+                                jnp.where((d < 0.0) & (ltr < -80.0), lo_br, mid)))
     new_t = jnp.clip(new_t, a, b)
     in_bounds = slot_ok & (new_t > a) & (new_t < b)
 

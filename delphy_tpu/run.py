@@ -8,6 +8,8 @@ partition machinery (partition parallelism arrives via a device mesh instead).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,6 +51,11 @@ class Run:
                  pop_model: str = "exp", skygrid_num_parameters: int = 50,
                  skygrid_cutoff_days: float | None = None,
                  skygrid_type: int = popm.STAIRCASE,
+                 skygrid_x0_days: float | None = None,
+                 skygrid_xM_days: float | None = None,
+                 skygrid_tau: float | None = None,
+                 skygrid_double_half_time_days: float | None = None,
+                 skygrid_init_nbar_days: float = 3.0 * 365.0,
                  mpox_hack: bool = False):
         tree.check_integrity()
         self.names = list(tree.name)
@@ -110,17 +117,39 @@ class Run:
                 t0=jnp.float64(t_max_tip), n0=jnp.float64(1000.0),
                 g=jnp.float64(0.0), min_pop=jnp.float64(1.0))
         elif pop_model == "skygrid":
-            # default knots x_k = T - (M-k)/M * K (pop_model.h:144-147);
-            # default cutoff: 1.2x the initial tree span
+            # knots: explicit first/last dates (cmdline.cpp:947-993), else
+            # x_k = T - (M-k)/M * K (pop_model.h:144-147); default cutoff:
+            # 1.2x the initial tree span
             M = max(1, skygrid_num_parameters - 1)
             t_root0 = float(tree.t[tree.root])
-            K = (skygrid_cutoff_days if skygrid_cutoff_days
-                 else 1.2 * max(t_max_tip - t_root0, 1.0))
-            x = t_max_tip - (M - np.arange(M + 1, dtype=np.float64)) / M * K
+            if skygrid_x0_days is not None and skygrid_xM_days is not None:
+                if skygrid_x0_days >= skygrid_xM_days:
+                    raise ValueError("skygrid first knot must precede last")
+                x = skygrid_x0_days + np.arange(M + 1, dtype=np.float64) / M \
+                    * (skygrid_xM_days - skygrid_x0_days)
+            else:
+                K = (skygrid_cutoff_days if skygrid_cutoff_days
+                     else 1.2 * max(t_max_tip - t_root0, 1.0))
+                x = t_max_tip - (M - np.arange(M + 1, dtype=np.float64)) / M * K
+            if skygrid_tau is not None:
+                tau0 = float(skygrid_tau)
+            elif skygrid_double_half_time_days is not None:
+                # random-walk diffusion D = log^2(2)/(2 T_dh); tau = 1/(2 D dt)
+                # (cmdline.cpp:1026-1045)
+                dt_knot = (x[-1] - x[0]) / M
+                D = math.log(2.0) ** 2 / (2.0 * skygrid_double_half_time_days)
+                tau0 = 1.0 / (2.0 * D * dt_knot)
+            else:
+                tau0 = 1.0
+            # initial gamma: random walk at precision tau, recentered to the
+            # initial N_bar (cmdline.cpp:1140-1153; the zero-mode Gibbs move
+            # resamples the mean, so only the shape matters)
+            g = np.concatenate([[0.0], np.cumsum(
+                self.host_rng.normal(0.0, np.sqrt(1.0 / tau0), M))])
+            g += -g.mean() + np.log(skygrid_init_nbar_days)
             self.pop = popm.SkygridPopParams(
-                x=jnp.asarray(x),
-                gamma=jnp.full((M + 1,), np.log(1000.0), jnp.float64),
-                type=skygrid_type, tau=jnp.float64(1.0))
+                x=jnp.asarray(x), gamma=jnp.asarray(g),
+                type=skygrid_type, tau=jnp.float64(tau0))
         else:
             raise ValueError(f"unknown pop_model {pop_model!r}")
 
@@ -183,11 +212,13 @@ class Run:
     def set_alpha(self, alpha: float):
         self.evo = self.evo._replace(alpha=jnp.float64(alpha))
 
-    def set_pop(self, n0=None, g=None):
+    def set_pop(self, n0=None, g=None, min_pop=None):
         if n0 is not None:
             self.pop = self.pop._replace(n0=jnp.float64(n0))
         if g is not None:
             self.pop = self.pop._replace(g=jnp.float64(g))
+        if min_pop is not None:
+            self.pop = self.pop._replace(min_pop=jnp.float64(min_pop))
 
     # -- MCMC ---------------------------------------------------------------
 
@@ -250,6 +281,9 @@ class Run:
         if self.topology_partitions > 0:
             return self.topology_partitions
         import os
+        env = os.environ.get("DELPHY_TPU_TOPO_PARTS", "")
+        if env:
+            return max(1, int(env))
         T = self.ts.num_tips
         # more parts than workers improves load balance across the pool
         return max(1, min(2 * (os.cpu_count() or 1), T // 10))
