@@ -50,9 +50,11 @@ def main():
     base = run.local_moves_attempted
     while time.time() - t0 < target_seconds:
         run.do_mcmc_steps(n)
-        note(f"dispatch done ({run.local_moves_attempted - base} moves)")
+        note("dispatch done")
+    # drain in-flight dispatches INSIDE the timed window for exact accounting
+    total = run.local_moves_attempted - base
     dt = time.time() - t0
-    moves_per_s = (run.local_moves_attempted - base) / dt
+    moves_per_s = total / dt
 
     # f32 within-window drift bound: measured ~2e-3 at |log_G|~1e4 per
     # boundary window (scripts/f32_study.py), scaled to Ebola |log_G|~4.5e4

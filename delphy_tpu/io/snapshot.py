@@ -23,6 +23,10 @@ VERSION = 3
 
 def save_run(run, path):
     from .. import pop as popm
+    # settle in-flight dispatches so the adaptive feedback state
+    # (_per_block_rate, attempted counts) is final before serialization
+    if hasattr(run, "_drain_inflight"):
+        run._drain_inflight(block=True)
     arrays = {f"ts_{k}": np.asarray(v) for k, v in run.ts._asdict().items()}
     arrays["key"] = np.asarray(run.key)
     # driver-adaptive state (partition maps, feedback rates, capacities):

@@ -297,6 +297,9 @@ def _batched_reform(ctx: PartCtx, carry, keys):
 
 
 _DISPLACE_ROUNDS = int(os.environ.get("DELPHY_TPU_DISPLACE_ROUNDS", "1"))
+# debug knobs for move-kernel bisection studies (scripts/f32_study.py)
+_NO_SINGLE = bool(int(os.environ.get("DELPHY_TPU_NO_SINGLE", "0")))
+_NO_REFORM = bool(int(os.environ.get("DELPHY_TPU_NO_REFORM", "0")))
 
 
 def part_sweep(ctx: PartCtx, k_p, t_p, mut_t, key, sh: SweepShared,
@@ -312,12 +315,14 @@ def part_sweep(ctx: PartCtx, k_p, t_p, mut_t, key, sh: SweepShared,
         t, mut_t, k_p, dG, dC, key, cnt = carry
         key, k1, k2, k3, k4, k5, k10, k11 = jax.random.split(key, 8)
         c = (t, mut_t, k_p, dG, dC, cnt)
-        c = _single_displace(ctx, sh, pop_params, c, (k1, k2, k3, k4, k5))
+        if not _NO_SINGLE:
+            c = _single_displace(ctx, sh, pop_params, c, (k1, k2, k3, k4, k5))
         for r in range(_DISPLACE_ROUNDS):
             key, k6, k7, k8, k9 = jax.random.split(key, 5)
             c = _batched_displace(ctx, sh, pop_params, c, (k6, k7, k8, k9),
                                   k_max)
-        c = _batched_reform(ctx, c, (k10, k11))
+        if not _NO_REFORM:
+            c = _batched_reform(ctx, c, (k10, k11))
         t, mut_t, k_p, dG, dC, cnt = c
         return (t, mut_t, k_p, dG, dC, key, cnt)
 

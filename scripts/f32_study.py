@@ -48,7 +48,8 @@ ref, deltas, miss, dates, names, _ = simulate_dataset(
     T, L, mu=1e-3, sample_window_days=400.0, missing_fraction=0.01, seed=7)
 tree = build_initial_tree(ref, deltas, miss, dates, names=names,
                           rng=np.random.default_rng(7))
-run = Run(tree, seed=seed, num_cells=200)
+run = Run(tree, seed=seed, num_cells=200,
+          topology_moves_enabled=not os.environ.get("F32_STUDY_NO_TOPO"))
 burn = steps // 5
 chunk = max(run.local_moves_per_global_move, 2000)
 run.do_mcmc_steps(burn)
