@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..state import TreeState
 from ..evo import EvoParams
+from .. import pop as popm
 from ..mcmc.moves import Ledger, Caches, bounded_exp_sample, _mh_accept
 from ..mcmc import global_moves as gm
 from ..mcmc.kernel import run_global_moves
@@ -300,6 +301,22 @@ _DISPLACE_ROUNDS = int(os.environ.get("DELPHY_TPU_DISPLACE_ROUNDS", "1"))
 # debug knobs for move-kernel bisection studies (scripts/f32_study.py)
 _NO_SINGLE = bool(int(os.environ.get("DELPHY_TPU_NO_SINGLE", "0")))
 _NO_REFORM = bool(int(os.environ.get("DELPHY_TPU_NO_REFORM", "0")))
+# fused Pallas sweep-block chain (block_pallas.py): eliminates the ~0.4 ms
+# per-block op-dispatch overhead of this file's XLA path on TPU.  Default
+# "auto" = on iff the backend is TPU (where it measured ~5x the XLA path);
+# on other backends the XLA path stays (the jnp twin exists for equivalence
+# tests, not speed).  "0"/"1" force it off/on.
+_PALLAS_ENV = os.environ.get("DELPHY_TPU_PALLAS", "auto")
+
+
+def pallas_enabled() -> bool:
+    if _PALLAS_ENV == "auto":
+        import jax
+        return jax.default_backend() == "tpu"
+    return bool(int(_PALLAS_ENV))
+# static cap on blocks per boundary in the Pallas path (uniforms are
+# pre-generated at this width; run.py clamps its adaptive n_blocks to it)
+PALLAS_NB_MAX = int(os.environ.get("DELPHY_TPU_PALLAS_NB_MAX", "64"))
 
 
 def part_sweep(ctx: PartCtx, k_p, t_p, mut_t, key, sh: SweepShared,
@@ -431,7 +448,33 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
     N = ts.num_nodes
     M = ts.mut_t.shape[0]
-    if mesh is None:
+    use_pallas = (pallas_enabled() and mesh is None
+                  and isinstance(pop_params, popm.ExpPopParams))
+    if use_pallas:
+        from . import block_pallas as bp
+        cpb = int(os.environ.get("DELPHY_TPU_CPB", "16"))
+        stat, ctx_arrs, shared = bp.pack_chain_inputs(
+            ctx, sh, pop_params, k_p, t_p, mut_t_p, cpb=cpb,
+            no_single=_NO_SINGLE, no_reform=_NO_REFORM)
+        u = bp.gen_block_uniforms(k_sweep, t_p.shape[0], PALLAS_NB_MAX,
+                                  stat.NC, stat.MC, dtype=t_p.dtype)
+        nb = jnp.minimum(n_blocks, PALLAS_NB_MAX)
+        if jax.default_backend() == "tpu":
+            outs = bp.sweep_chain_pallas(stat, nb, ctx_arrs, shared, u)
+        else:
+            outs = bp.sweep_chain_jnp(stat, nb, ctx_arrs, shared, u)
+        t_new, mut_new, kp_new, dG_p, dC_p, cnt_p = outs
+        P = t_p.shape[0]
+        n_cap = t_p.shape[1]
+        m_cap = mut_t_p.shape[1]
+        dt_p = t_new.reshape(P, stat.NC)[:, :n_cap] - t_p
+        dmut_p = mut_new.reshape(P, stat.MC)[:, :m_cap] - mut_t_p
+        dG, dC, cnt = (jnp.sum(dG_p), jnp.sum(dC_p),
+                       jnp.sum(cnt_p).astype(jnp.int64)
+                       if jax.config.x64_enabled
+                       else jnp.sum(cnt_p).astype(jnp.int32))
+        dt, dmut = scatter_deltas(pm, N, M, dt_p, dmut_p)
+    elif mesh is None:
         dt_p, dmut_p, dG, dC, cnt = sweep_deltas(
             pm, ctx, k_p, t_p, mut_t_p, keys, sh, pop_params, n_blocks,
             k_max, reform_batch)

@@ -277,7 +277,12 @@ class Run:
             # block budget from the MEASURED attempted-moves-per-block rate
             # (feedback, since the batched kernels' fill factor is
             # data-dependent); n_blocks is a traced arg — no recompiles
-            n_blocks = max(1, min(512,
+            from .parallel.sweep import pallas_enabled, PALLAS_NB_MAX
+            from . import pop as _popm
+            use_pallas = (pallas_enabled()
+                          and isinstance(self.pop, _popm.ExpPopParams))
+            nb_cap = PALLAS_NB_MAX if use_pallas else 512
+            n_blocks = max(1, min(nb_cap,
                                   round(per_boundary / self._per_block_rate)))
             (self.ts, self.evo, self.pop, self.key, self.ledger,
              self.last_stats) = parts_multi_super_step(
