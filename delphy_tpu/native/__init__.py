@@ -44,6 +44,15 @@ def _build() -> str | None:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, so)
         return so
+    except subprocess.CalledProcessError as e:
+        # loud: silently losing the native kernel reroutes topology bursts
+        # to the much slower Python mixer
+        import sys
+        sys.stderr.write(
+            "[delphy_tpu] WARNING: native topology kernel failed to "
+            "compile; falling back to the Python mixer.\n"
+            + e.stderr.decode(errors="replace")[-2000:] + "\n")
+        return None
     except Exception:
         return None
 

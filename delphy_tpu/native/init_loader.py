@@ -40,6 +40,15 @@ def _build() -> str | None:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, so)
         return so
+    except subprocess.CalledProcessError as e:
+        # loud: a silent fallback here means the O(T^2) Python guide tree
+        # takes over and 10k+-tip init quietly becomes ~100x slower
+        import sys
+        sys.stderr.write(
+            "[delphy_tpu] WARNING: native init kernel failed to compile; "
+            "falling back to the Python pipeline.\n"
+            + e.stderr.decode(errors="replace")[-2000:] + "\n")
+        return None
     except Exception:
         return None
 

@@ -33,8 +33,12 @@
 // Build: g++ -O2 -std=c++17 -shared -fPIC init_native.cpp -o _init_native.so
 
 #include <algorithm>
+#include <array>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <random>
@@ -131,7 +135,13 @@ struct Builder {
   void add_node_edge(int32_t n, int32_t e) {
     for (int k = 0; k < 3; k++)
       if (node_edges[n][k] == NO_EDGE) { node_edges[n][k] = e; return; }
-    // unreachable for valid binary trees
+    // a full list here means an earlier unlink was missed; silently
+    // dropping the edge corrupts the multigraph invariants much later
+    std::fprintf(stderr,
+                 "[init_native] add_node_edge OVERFLOW: node %d edge %d "
+                 "(list %d,%d,%d)\n",
+                 n, e, node_edges[n][0], node_edges[n][1], node_edges[n][2]);
+    std::abort();
   }
   void del_node_edge(int32_t n, int32_t e) {
     for (int k = 0; k < 3; k++)
@@ -177,6 +187,7 @@ struct Builder {
   }
 
   bool track_mm = false;
+  const char* g_where = "?";
 
   // Move focus to target, updating fdiff (and mm when track_mm).
   void move_focus_to(int32_t target) {
@@ -187,6 +198,13 @@ struct Builder {
     int32_t cur = target;
     while (cur != focus) {
       int32_t e = toward_focus[cur];
+      if (e == NO_EDGE || !edges[e].alive) {
+        std::fprintf(stderr,
+                     "[init_native] move_focus_to BROKEN at %s: cur=%d target=%d "
+                     "focus=%d e=%d deg(cur)=%d\n",
+                     g_where, cur, target, focus, e, degree(cur));
+        std::abort();
+      }
       path_nodes.push_back(cur);
       path_edges.push_back(e);
       cur = edges[e].other(cur);
@@ -199,6 +217,62 @@ struct Builder {
       toward_focus[focus] = e;
       toward_focus[nxt] = NO_EDGE;
       focus = nxt;
+    }
+  }
+
+  // ---- debug invariant (env DELPHY_TPU_INIT_CHECK) -------------------------
+
+  void check_routing(const char* where) {
+    // structural symmetry: alive edges appear exactly once in both endpoint
+    // lists; node-list entries reference alive edges with that endpoint
+    for (int32_t e = 0; e < (int32_t)edges.size(); e++) {
+      if (!edges[e].alive) continue;
+      for (int32_t n : {edges[e].a, edges[e].b}) {
+        int cnt = 0;
+        for (int k = 0; k < 3; k++) cnt += node_edges[n][k] == e;
+        if (cnt != 1) {
+          std::fprintf(stderr,
+                       "[init_native] EDGE/NODE BROKEN at %s: edge %d "
+                       "(%d-%d) in node %d list %d times\n",
+                       where, e, edges[e].a, edges[e].b, n, cnt);
+          std::abort();
+        }
+      }
+    }
+    for (int32_t n = 0; n < next_inner; n++) {
+      for (int k = 0; k < 3; k++) {
+        int32_t e = node_edges[n][k];
+        if (e == NO_EDGE) continue;
+        if (!edges[e].alive ||
+            (edges[e].a != n && edges[e].b != n)) {
+          std::fprintf(stderr,
+                       "[init_native] NODE/EDGE BROKEN at %s: node %d "
+                       "lists edge %d (alive=%d, %d-%d)\n",
+                       where, n, e, (int)edges[e].alive, edges[e].a,
+                       edges[e].b);
+          std::abort();
+        }
+      }
+    }
+    // every connected node's toward_focus chain must reach focus without
+    // dead edges or cycles
+    for (int32_t n = 0; n < next_inner; n++) {
+      if (degree(n) == 0 || n == focus) continue;
+      int32_t cur = n;
+      int steps = 0;
+      while (cur != focus) {
+        int32_t e = toward_focus[cur];
+        if (e == NO_EDGE || !edges[e].alive ||
+            (edges[e].a != cur && edges[e].b != cur) ||
+            ++steps > next_inner) {
+          std::fprintf(stderr,
+                       "[init_native] ROUTING BROKEN at %s: node %d "
+                       "(start %d, focus %d, edge %d)\n",
+                       where, cur, n, focus, e);
+          std::abort();
+        }
+        cur = edges[e].other(cur);
+      }
     }
   }
 
@@ -288,6 +362,7 @@ struct Builder {
       // the popped edge may no longer be focal; route focus to its far end
       int32_t far = edges[e_in].other(
           toward_focus_side(e_in));
+      g_where = "find_best_edge";
       move_focus_to(far);
       for (int k = 0; k < 3; k++) {
         int32_t e = node_edges[focus][k];
@@ -374,6 +449,7 @@ struct Builder {
   }
 
   void attach_x_at(int32_t e_best, int32_t M, int32_t X) {
+    g_where = "attach_x_at";
     move_focus_to(toward_focus_side(e_best));
     split_edge_inserting(e_best, M);
     wire_x(M, X, e_best);
@@ -482,7 +558,7 @@ struct Builder {
     }
     int32_t P = edges[e1].other(M);
     int32_t Q = edges[e2].other(M);
-    if (focus == X || focus == M) move_focus_to(P);
+    if (focus == X || focus == M) { g_where = "detach_escape"; move_focus_to(P); }
     // compose P-M and M-Q into P-Q on edge id e1
     std::unordered_map<int32_t, std::pair<int8_t, int8_t>> comp;
     for (const auto& dl : edges[e1].d)
@@ -517,8 +593,10 @@ struct Builder {
       }), dv.end());
     };
     strip(P); strip(Q);
-    // unlink M and X and the dead edges
+    // unlink M and X and the dead edges (e2 dies: remove it from BOTH
+    // endpoint lists, else Q's full list silently drops the merged e1)
     del_node_edge(M, e_mx); del_node_edge(M, e1); del_node_edge(M, e2);
+    del_node_edge(Q, e2);
     del_node_edge(X, e_mx);
     edges[e_mx].alive = false;
     edges[e2].alive = false;
@@ -533,8 +611,11 @@ struct Builder {
     return M;  // the freed inner node, reused on reattach
   }
 
+  bool debug_check = false;
+
   void spr_refine(int max_attempts, int patience) {
     if (T <= 3) return;
+    debug_check = std::getenv("DELPHY_TPU_INIT_CHECK") != nullptr;
     int non_improve = 0;
     int64_t cur = count_deltas();
     for (int att = 0; att < max_attempts && non_improve < patience; att++) {
@@ -546,16 +627,20 @@ struct Builder {
       int32_t M = edges[e_mx].other(X);
       if (degree(M) != 3) continue;       // safety (root-ish degenerate)
       int32_t Mfree = detach_tip(X);
+      if (debug_check) check_routing("after detach");
       init_x_tip(X);
       recompute_mm();
       // random restart point spreads the search (utree.cpp spr_refine)
       int32_t S;
       do { S = (int32_t)(rng() % next_inner); } while (S == X || degree(S) == 0);
+      g_where = "refine_restart";
       move_focus_to(S);
       recompute_mm();
       auto [e_best, cost] = find_best_edge();
       (void)cost;
+      if (debug_check) check_routing("after search");
       attach_x_at(e_best, Mfree, X);
+      if (debug_check) check_routing("after attach");
       int64_t now = count_deltas();
       if (now < cur) { cur = now; non_improve = 0; }
       else non_improve++;
@@ -595,6 +680,15 @@ extern "C" int64_t delphy_build_initial_topology(
     int64_t rd_cap, int64_t* rd_n, int32_t* rd_site, int8_t* rd_state,
     double* out_mu_per_day, double* out_t_mrca, double* out_r2) {
   if (T < 3) return -1;
+  const bool verbose = std::getenv("DELPHY_TPU_INIT_VERBOSE") != nullptr;
+  auto t_last = std::chrono::steady_clock::now();
+  auto stage = [&](const char* name) {
+    if (!verbose) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[init_native] %s: %.1fs\n", name,
+                 std::chrono::duration<double>(now - t_last).count());
+    t_last = now;
+  };
   Builder B(T, L, ref, seed);
   B.tips.resize(T);
   for (int32_t i = 0; i < T; i++) {
@@ -608,6 +702,7 @@ extern "C" int64_t delphy_build_initial_topology(
   B.add_first_two(0, 1);
   for (int32_t i = 2; i < T; i++) B.add_tip(i);
 
+  stage("guide");
   // ---- phase 2: nearest-first rebuild -------------------------------------
   {
     auto order = B.nearest_first_order();
@@ -616,17 +711,20 @@ extern "C" int64_t delphy_build_initial_topology(
     B2.add_first_two(order[0].first, order[1].first);
     for (size_t k = 2; k < order.size(); k++) {
       auto [tip, prev] = order[k];
-      if (prev != NO_NODE && B2.degree(prev) > 0) B2.move_focus_to(prev);
+      if (prev != NO_NODE && B2.degree(prev) > 0) { B2.g_where = "rebuild"; B2.move_focus_to(prev); }
       B2.add_tip(tip);
     }
     B = std::move(B2);
   }
 
+  stage("nearest-first rebuild");
   // ---- phase 3: spr refinement -------------------------------------------
   if (refine_passes > 0)
     B.spr_refine(refine_passes * T, /*patience=*/5 * T);
+  stage("spr_refine");
 
   // ---- phase 4: OLS rooting over edge midpoints ---------------------------
+  // (stage timing printed at emission below)
   // orient unrooted tree at node 0 for the DP
   int32_t n_all = B.next_inner;
   std::vector<int32_t> up_edge(n_all, NO_EDGE), order_;

@@ -50,6 +50,19 @@ class FlatTree:
     miss_from_states: list      # per node: dict{site: from_state}
     name: list = field(default_factory=list)
 
+    def copy(self) -> "FlatTree":
+        """Deep copy (arrays, per-node mutation/missation containers)."""
+        return FlatTree(
+            parent=self.parent.copy(), children=self.children.copy(),
+            t=self.t.copy(), t_min=self.t_min.copy(),
+            t_max=self.t_max.copy(), root=self.root,
+            ref_seq=self.ref_seq.copy(),
+            mutations=[[Mutation(m.site, m.from_, m.to, m.t) for m in ms]
+                       for ms in self.mutations],
+            miss_intervals=[list(iv) for iv in self.miss_intervals],
+            miss_from_states=[dict(fs) for fs in self.miss_from_states],
+            name=list(self.name))
+
     @property
     def num_nodes(self) -> int:
         return len(self.parent)

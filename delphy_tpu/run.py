@@ -58,6 +58,9 @@ class Run:
                  skygrid_init_nbar_days: float = 3.0 * 365.0,
                  mpox_hack: bool = False):
         tree.check_integrity()
+        # Run owns its tree: topology bursts and repartition syncs mutate it
+        # in place, so sharing one FlatTree across Runs must be safe
+        tree = tree.copy()
         self.names = list(tree.name)
         # generous pool headroom so topology moves rarely force a reshape
         # (shape changes re-jit the sweep kernel)
@@ -336,10 +339,25 @@ class Run:
         from .topo import TopologyMixer
         from .topo.mixer import HostExpPop, HostSkygridPop
         from .phylo import rereference_to_root_sequence
-        # one batched device->host transfer for everything the burst needs
-        import jax
-        ts_h, evo_h, pop_h = jax.device_get((self.ts, self.evo, self.pop))
+        import os
+        import time as _time
+        _verbose = os.environ.get("DELPHY_TPU_BURST_VERBOSE") == "1"
+        _tl = [_time.monotonic()]
+
+        def _stage(name):
+            if not _verbose:
+                return
+            now = _time.monotonic()
+            print(f"[burst] {name}: {now - _tl[0]:.3f}s", flush=True)
+            _tl[0] = now
+
+        # one fused device->host transfer for everything the burst needs
+        # (2 tunnel transfers instead of ~30 leaf-by-leaf; state.fetch_fused)
+        from .state import fetch_fused
+        ts_h, evo_h, pop_h = fetch_fused((self.ts, self.evo, self.pop))
+        _stage(f"device_get (n_moves={n_moves})")
         tree = unpack_state(ts_h, names=self.names)
+        _stage("unpack_state")
         if isinstance(self.pop, popm.SkygridPopParams):
             host_pop = HostSkygridPop(np.asarray(pop_h.x),
                                       np.asarray(pop_h.gamma), self.pop.type)
@@ -365,6 +383,7 @@ class Run:
                 part=part, q_tab=q_tab)
             self.topology_accepted += acc
             self.topology_proposed += prop
+            _stage("partitioned bursts")
             if self.ledger is not None:
                 self.ledger = self.ledger._replace(
                     log_G=self.ledger.log_G + dlg)
@@ -394,6 +413,7 @@ class Run:
         # keep the reference sequence anchored at the root (normalize_root,
         # run.cpp:258-275; log_G is invariant)
         rereference_to_root_sequence(tree)
+        _stage("rereference")
 
         n_muts = tree.num_mutations() + len(tree.mutations[tree.root])
         while n_muts > self.mut_capacity - 8:
@@ -406,12 +426,14 @@ class Run:
             self.fs_capacity = _round_cap(2 * self.fs_capacity)
         self.ts = pack_state(tree, self.mut_capacity, self.miss_capacity,
                              self.fs_capacity)
+        _stage("pack_state")
         tin, tout = tree.euler_positions()
         self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
         # the burst changed topology and repacked the mutation pool: the
         # device partition maps must be rebuilt from the new tree
         self._host_tree = tree
         self._repartition()
+        _stage("repartition")
 
     # -- observability --------------------------------------------------------
 

@@ -170,3 +170,66 @@ def unpack_state(ts: TreeState, names=None) -> FlatTree:
         miss_from_states=miss_from_states,
         name=list(names) if names else [f"tip_{i}" for i in range((N + 1) // 2)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused device->host transfer
+# ---------------------------------------------------------------------------
+#
+# On the tunneled TPU every device->host transfer costs ~15-30 ms regardless
+# of size, and jax.device_get of a pytree fetches leaf by leaf: pulling
+# (TreeState, EvoParams, PopParams) is ~30 transfers ~= 0.45 s, which was
+# the largest fixed cost of every topology burst.  fuse_for_host concatenates
+# all integer leaves into one i32 vector and all float leaves into one vector
+# on the DEVICE, so the host fetch is 2 transfers; split_for_host slices the
+# fetched buffers back into the original pytree structure with numpy leaves.
+
+def _leaf_kind(x) -> str:
+    dt = np.asarray(x).dtype if not hasattr(x, "dtype") else x.dtype
+    return "int" if np.issubdtype(dt, np.integer) else "float"
+
+
+def fuse_for_host(pytree):
+    """Jit-compatible: returns (ints_i32, floats) concatenated over leaves
+    in tree order.  Float dtype is the widest float leaf dtype present."""
+    leaves = jax.tree_util.tree_leaves(pytree)
+    ints = [jnp.ravel(jnp.asarray(l)).astype(jnp.int32)
+            for l in leaves if _leaf_kind(l) == "int"]
+    fls = [l for l in leaves if _leaf_kind(l) == "float"]
+    fdt = jnp.result_type(*fls) if fls else jnp.float32
+    flts = [jnp.ravel(jnp.asarray(l)).astype(fdt) for l in fls]
+    z_i = jnp.zeros((0,), jnp.int32)
+    z_f = jnp.zeros((0,), fdt)
+    return (jnp.concatenate(ints) if ints else z_i,
+            jnp.concatenate(flts) if flts else z_f)
+
+
+_fuse_for_host_jit = jax.jit(fuse_for_host)
+
+
+def split_for_host(template, ints_h, flts_h):
+    """Host-side inverse of fuse_for_host: rebuild `template`'s structure
+    with numpy leaves sliced from the two fetched buffers (original shapes
+    and dtypes restored; 0-d leaves come back as numpy scalars)."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    ints_h = np.asarray(ints_h)
+    flts_h = np.asarray(flts_h)
+    oi = of = 0
+    out = []
+    for l in leaves:
+        la = np.asarray(l)
+        n = la.size
+        if _leaf_kind(l) == "int":
+            v = ints_h[oi:oi + n].reshape(la.shape).astype(la.dtype)
+            oi += n
+        else:
+            v = flts_h[of:of + n].reshape(la.shape).astype(la.dtype)
+            of += n
+        out.append(v if la.shape else v[()])
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def fetch_fused(pytree):
+    """device_get the whole pytree in 2 transfers (see fuse_for_host)."""
+    ints_h, flts_h = jax.device_get(_fuse_for_host_jit(pytree))
+    return split_for_host(pytree, ints_h, flts_h)
