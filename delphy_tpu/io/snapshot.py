@@ -164,6 +164,7 @@ def load_run(path):
             g=jnp.asarray(data["pop_g"]), min_pop=jnp.asarray(data["pop_min_pop"]))
     run.key = jnp.asarray(data["key"])
     run.step = meta["step"]
+    run._fused_bundle = None   # ts/evo/pop replaced above
     _rng_state_from_json(run.host_rng, meta["host_rng_state"])
     return run
 

@@ -534,7 +534,13 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
     stats = jax.tree.map(lambda x: x[-1], stats_seq)
     stats = dict(stats,
                  local_moves_attempted=stats_seq["local_moves_attempted"].sum())
-    return ts, evo, pop_params, key, ledger, stats
+    # fused host bundle computed INSIDE the dispatch: a topology burst then
+    # pulls two ready buffers (~30 ms each on the tunnel) instead of either
+    # ~30 leaf fetches (~0.45 s) or enqueuing a fresh concat program
+    # (~0.3-0.7 s tunnel dispatch latency)
+    from ..state import fuse_for_host
+    fused = fuse_for_host((ts, evo, pop_params))
+    return ts, evo, pop_params, key, ledger, stats, fused
 
 
 def make_mesh_multi_super_step(mesh, hyp, num_cells: int, n_boundaries: int,

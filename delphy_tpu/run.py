@@ -72,6 +72,10 @@ class Run:
         self.fs_capacity = _round_cap(4 * n_fs + 128)
         self.ts: TreeState = pack_state(tree, self.mut_capacity,
                                         self.miss_capacity, self.fs_capacity)
+        # fused (ints, floats) copy of (ts, evo, pop) produced by the last
+        # sweep dispatch; None whenever host code has since replaced any of
+        # the three (the burst falls back to a fresh fused fetch)
+        self._fused_bundle = None
         self.hyp = hyp
         self.num_cells = num_cells
         self.topology_moves_enabled = topology_moves_enabled
@@ -244,9 +248,11 @@ class Run:
 
     def set_mu(self, mu: float):
         self.evo = self.evo._replace(mu=jnp.float64(mu))
+        self._fused_bundle = None
 
     def set_alpha(self, alpha: float):
         self.evo = self.evo._replace(alpha=jnp.float64(alpha))
+        self._fused_bundle = None
 
     def set_pop(self, n0=None, g=None, min_pop=None):
         if n0 is not None:
@@ -255,6 +261,7 @@ class Run:
             self.pop = self.pop._replace(g=jnp.float64(g))
         if min_pop is not None:
             self.pop = self.pop._replace(min_pop=jnp.float64(min_pop))
+        self._fused_bundle = None
 
     # -- MCMC ---------------------------------------------------------------
 
@@ -288,7 +295,7 @@ class Run:
             n_blocks = max(1, min(nb_cap,
                                   round(per_boundary / self._per_block_rate)))
             (self.ts, self.evo, self.pop, self.key, self.ledger,
-             self.last_stats) = parts_multi_super_step(
+             self.last_stats, self._fused_bundle) = parts_multi_super_step(
                 self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
                 self.pm, n_blocks, self.t_max_tip, self.hyp, self.num_cells,
                 boundaries, self._sweep_k_max, self._sweep_reform_batch)
@@ -351,10 +358,20 @@ class Run:
             print(f"[burst] {name}: {now - _tl[0]:.3f}s", flush=True)
             _tl[0] = now
 
-        # one fused device->host transfer for everything the burst needs
-        # (2 tunnel transfers instead of ~30 leaf-by-leaf; state.fetch_fused)
-        from .state import fetch_fused
-        ts_h, evo_h, pop_h = fetch_fused((self.ts, self.evo, self.pop))
+        # one fused device->host transfer for everything the burst needs.
+        # The fused (ints, floats) bundle is an OUTPUT of the sweep dispatch
+        # (parts_multi_super_step), so this is 2 pulls of ready buffers on
+        # the tunnel; enqueueing a fresh concat program here instead would
+        # cost ~0.3-0.7 s of dispatch latency, and leaf-by-leaf device_get
+        # ~0.45 s (measured at SARS scale).
+        import jax
+        from .state import split_for_host, fetch_fused
+        if getattr(self, "_fused_bundle", None) is not None:
+            ints_h, flts_h = jax.device_get(self._fused_bundle)
+            ts_h, evo_h, pop_h = split_for_host(
+                (self.ts, self.evo, self.pop), ints_h, flts_h)
+        else:  # no sweep dispatch since the last repack (rare)
+            ts_h, evo_h, pop_h = fetch_fused((self.ts, self.evo, self.pop))
         _stage(f"device_get (n_moves={n_moves})")
         tree = unpack_state(ts_h, names=self.names)
         _stage("unpack_state")
@@ -426,6 +443,7 @@ class Run:
             self.fs_capacity = _round_cap(2 * self.fs_capacity)
         self.ts = pack_state(tree, self.mut_capacity, self.miss_capacity,
                              self.fs_capacity)
+        self._fused_bundle = None
         _stage("pack_state")
         tin, tout = tree.euler_positions()
         self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)

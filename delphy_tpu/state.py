@@ -217,15 +217,22 @@ def split_for_host(template, ints_h, flts_h):
     oi = of = 0
     out = []
     for l in leaves:
-        la = np.asarray(l)
-        n = la.size
+        # read shape/dtype WITHOUT materializing the leaf: np.asarray on a
+        # device array is a device->host transfer (~15 ms each on the
+        # tunnel), which silently cost ~0.5 s per call for a ~30-leaf tree
+        if hasattr(l, "shape") and hasattr(l, "dtype"):
+            shape, dtype = l.shape, np.dtype(str(l.dtype))
+        else:
+            la = np.asarray(l)
+            shape, dtype = la.shape, la.dtype
+        n = int(np.prod(shape)) if shape else 1
         if _leaf_kind(l) == "int":
-            v = ints_h[oi:oi + n].reshape(la.shape).astype(la.dtype)
+            v = ints_h[oi:oi + n].reshape(shape).astype(dtype)
             oi += n
         else:
-            v = flts_h[of:of + n].reshape(la.shape).astype(la.dtype)
+            v = flts_h[of:of + n].reshape(shape).astype(dtype)
             of += n
-        out.append(v if la.shape else v[()])
+        out.append(v if shape else v[()])
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

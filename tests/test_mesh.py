@@ -54,7 +54,7 @@ def test_mesh_step_matches_vmap_exactly(mesh8):
                                       run._sweep_reform_batch)
     ts_m, evo_m, pop_m, key_m, ledger_m, stats_m = step(*args)
 
-    ts_v, evo_v, pop_v, key_v, ledger_v, stats_v = parts_multi_super_step(
+    ts_v, evo_v, pop_v, key_v, ledger_v, stats_v, _fused = parts_multi_super_step(
         run.ts, run.evo, run.pop, run.key, run.tin, run.tout, run.pm, 4,
         run.t_max_tip, run.hyp, run.num_cells, 2, run._sweep_k_max,
         run._sweep_reform_batch)
