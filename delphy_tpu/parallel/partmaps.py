@@ -127,12 +127,20 @@ def auto_num_partitions(num_tips: int, max_parts: int = 32) -> int:
     """Default partition count: same spirit as the reference's
     threads-as-partitions default (tools/delphy.cpp:130-132), scaled for
     SIMD-width device parallelism; stencil generation needs >=10 branches
-    per part (tree_partitioning.h:139-194)."""
+    per part (tree_partitioning.h:139-194).
+
+    Above ~5k tips the cap grows so per-part node capacity stays ~<=512:
+    the Pallas sweep kernel holds (n_cap, n_cap) masks in VMEM, and parts
+    are the grid axis, so many small parts beat few big ones."""
     import os
     env = os.environ.get("DELPHY_TPU_P", "")
     if env:
         return max(1, int(env))
-    return max(1, min(num_tips // 10, max_parts))
+    # ~2N/P <= 300 with stencil imbalance headroom, rounded up to a multiple
+    # of 8 (sublane-friendly vmap/grid width)
+    need = max(max_parts, -(-2 * num_tips // 300))
+    need = (need + 7) // 8 * 8
+    return max(1, min(num_tips // 10, need))
 
 
 def _round8(n: int) -> int:
@@ -148,8 +156,19 @@ def build_part_maps(tree: FlatTree, mut_node: np.ndarray,
     part — the sweep never touches them."""
     N = tree.num_nodes
     root = int(tree.root)
-    cut_points = (generate_random_partition_stencil(tree, num_parts, rng)
-                  if num_parts > 1 else [])
+    # best-of-K stencils by max part size: the greedy generator's residual
+    # root part routinely overshoots the mean 3-4x, and n_cap (hence the
+    # Pallas kernel's VMEM mask footprint) is set by the WORST part.  The
+    # reference similarly keeps a cache of 10 stencils (run.cpp:87-108).
+    cut_points: list = []
+    if num_parts > 1:
+        best_mx = None
+        for _ in range(6):
+            cand, sizes = generate_random_partition_stencil(
+                tree, num_parts, rng, return_sizes=True)
+            mx = max(sizes)
+            if best_mx is None or mx < best_mx:
+                best_mx, cut_points = mx, cand
     cut_set = set(int(c) for c in cut_points)
     cut_set.add(root)
 

@@ -448,8 +448,13 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
     N = ts.num_nodes
     M = ts.mut_t.shape[0]
+    # the Pallas chain keeps (NC, NC) masks in VMEM: beyond ~1k nodes/part
+    # it exceeds the 16 MB scoped-vmem budget, so huge parts take the XLA
+    # path (auto_num_partitions keeps parts small to avoid this)
     use_pallas = (pallas_enabled() and mesh is None
-                  and isinstance(pop_params, popm.ExpPopParams))
+                  and isinstance(pop_params, popm.ExpPopParams)
+                  and t_p.shape[1] <= int(os.environ.get(
+                      "DELPHY_TPU_PALLAS_NC_MAX", "1024")))
     if use_pallas:
         from . import block_pallas as bp
         cpb = int(os.environ.get("DELPHY_TPU_CPB", "16"))

@@ -224,8 +224,12 @@ class Run:
         P = self.device_partitions
         pm = build_part_maps(tree, host_mut_nodes(tree, self.mut_capacity),
                              P, self.host_rng)
-        if self._n_cap_sticky == 0:  # generous first caps: stencil-to-stencil
-            self._n_cap_sticky = _round16(2 * pm.n_cap + 16)
+        if self._n_cap_sticky == 0:
+            # headroom for stencil-to-stencil variation (with best-of-K
+            # stencils the max part size varies ~10%, measured at 10k tips);
+            # n_cap headroom is deliberately tight — the Pallas kernel's
+            # VMEM mask footprint is O(n_cap^2)
+            self._n_cap_sticky = _round16(int(1.4 * pm.n_cap) + 16)
             self._m_cap_sticky = _round16(2 * pm.m_cap + 16)
         # quantized growth so cap bumps (=> recompiles) are rare
         if pm.n_cap > self._n_cap_sticky:
@@ -402,9 +406,16 @@ class Run:
             self.topology_proposed += prop
             _stage("partitioned bursts")
             if self.ledger is not None:
+                # refresh log_coal from the post-burst tree so log_posterior
+                # and the stats line are not stale within the window (the
+                # augmented per-part priors do not sum to the plain prior)
+                from .topo.mixer import HostCoalGrid
+                hg = HostCoalGrid(tree, host_pop,
+                                  min(self.num_cells, 400), self.t_max_tip)
                 self.ledger = self.ledger._replace(
-                    log_G=self.ledger.log_G + dlg)
-                # log_coal is stale until the next boundary's full recompute
+                    log_G=self.ledger.log_G + dlg,
+                    log_coal=hg.log_prior(tree.t))
+                _stage("log_coal refresh")
         else:
             from .native import run_burst_native
             res = run_burst_native(

@@ -108,14 +108,32 @@ class HostCoalGrid:
         self.C = num_cells
         self.lbs = self.t_lo + self.t_step * np.arange(num_cells)
         is_tip = tree.children[:, 0] == NO_NODE
+        self._is_tip = is_tip
         sign = np.where(is_tip, 1.0, -1.0)
         rel = (tree.t - self.t_lo) / self.t_step
-        self.k_bar = np.zeros(num_cells)
-        for s, r in zip(sign, rel):
-            self.k_bar += s * np.clip(r - np.arange(num_cells), 0.0, 1.0)
+        # O(N + C) scatter + exclusive suffix sum (ops/coalescent.calc_k_bar)
+        cell = np.floor(rel).astype(np.int64)
+        in_grid = (cell >= 0) & (cell < num_cells)
+        cc = np.clip(cell, 0, num_cells - 1)
+        k_frac = np.bincount(cc, weights=np.where(in_grid, sign * (rel - cell), 0.0),
+                             minlength=num_cells)
+        counts = np.bincount(cc, weights=np.where(in_grid, sign, 0.0),
+                             minlength=num_cells)
+        above = np.sum(np.where(cell >= num_cells, sign, 0.0))
+        rev_cum = np.cumsum(counts[::-1])[::-1]
+        self.k_bar = above + rev_cum - counts + k_frac
         self.popsize_bar = np.maximum(
             np.array([self.pop.pop_integral(lb, lb + self.t_step) for lb in self.lbs])
             / self.t_step, 1e-100)
+
+    def log_prior(self, t: np.ndarray) -> float:
+        """Full scalable-coalescent log prior from the current k_bar grid
+        (scalable_coalescent.cpp:163-187; ops/coalescent.calc_log_prior)."""
+        quad = -float(np.sum(self.t_step * self.k_bar * (self.k_bar - 1.0)
+                             / (2.0 * self.popsize_bar)))
+        logN = sum(math.log(self.pop.pop_at(float(ti)))
+                   for ti, tip in zip(t, self._is_tip) if not tip)
+        return quad - logN
 
     def _pop_at(self, t):
         return self.pop.pop_at(t)

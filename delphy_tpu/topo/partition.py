@@ -40,11 +40,17 @@ def randomized_post_order(tree: FlatTree, rng: np.random.Generator):
 
 
 def generate_random_partition_stencil(tree: FlatTree, num_parts: int,
-                                      rng: np.random.Generator) -> list:
-    """Randomized greedy equal-size cuts (tree_partitioning.h:139-194)."""
+                                      rng: np.random.Generator,
+                                      return_sizes: bool = False):
+    """Randomized greedy equal-size cuts (tree_partitioning.h:139-194).
+
+    With return_sizes, also returns the per-part node counts (cut parts in
+    cut order, then the residual root part) at no extra cost — used to pick
+    the most balanced of several candidate stencils."""
     N = tree.num_nodes
     descendants = np.zeros(N, dtype=np.int64)
     cut_points = []
+    sizes = []
     num_branches_left = N
     num_parts_left = num_parts
     for n in randomized_post_order(tree, rng):
@@ -62,9 +68,12 @@ def generate_random_partition_stencil(tree: FlatTree, num_parts: int,
             if rng.random() < 0.5:
                 continue
             cut_points.append(n)
+            sizes.append(int(descendants[n]))
             num_branches_left -= descendants[n] - 1
             descendants[n] = 1
             num_parts_left -= 1
+    if return_sizes:
+        return cut_points, sizes + [num_branches_left]
     return cut_points
 
 
