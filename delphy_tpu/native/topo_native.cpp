@@ -101,6 +101,70 @@ struct SiteSet {
   }
 };
 
+// ---- flat small map ---------------------------------------------------------
+// Per-branch delta / from-state maps hold a handful of entries (rarely >30),
+// so an unsorted vector with linear probing beats std::unordered_map's
+// node-per-entry allocation by a wide margin (profiled: the hash maps +
+// malloc/free were ~25% of the whole topology kernel's CPU).  Interface is
+// the unordered_map subset this file uses; erase is swap-with-last, and the
+// iterator-returning erase supports the erase-while-iterating pattern as
+// long as end() is re-read each iteration (it is).
+
+template <typename V>
+struct FlatMap {
+  using value_type = std::pair<int32_t, V>;
+  using vec_t = std::vector<value_type>;
+  using iterator = typename vec_t::iterator;
+  using const_iterator = typename vec_t::const_iterator;
+  vec_t v;
+
+  iterator begin() { return v.begin(); }
+  iterator end() { return v.end(); }
+  const_iterator begin() const { return v.begin(); }
+  const_iterator end() const { return v.end(); }
+  size_t size() const { return v.size(); }
+  bool empty() const { return v.empty(); }
+  void clear() { v.clear(); }
+
+  iterator find(int32_t k) {
+    auto it = v.begin();
+    for (; it != v.end(); ++it)
+      if (it->first == k) break;
+    return it;
+  }
+  const_iterator find(int32_t k) const {
+    auto it = v.begin();
+    for (; it != v.end(); ++it)
+      if (it->first == k) break;
+    return it;
+  }
+  size_t count(int32_t k) const { return find(k) != v.end() ? 1 : 0; }
+
+  std::pair<iterator, bool> emplace(int32_t k, V val) {
+    auto it = find(k);
+    if (it != v.end()) return {it, false};
+    v.emplace_back(k, val);
+    return {v.end() - 1, true};
+  }
+  V& operator[](int32_t k) {
+    auto it = find(k);
+    if (it != v.end()) return it->second;
+    v.emplace_back(k, V{});
+    return v.back().second;
+  }
+  iterator erase(iterator it) {
+    *it = v.back();
+    v.pop_back();
+    return it;
+  }
+  size_t erase(int32_t k) {
+    auto it = find(k);
+    if (it == v.end()) return 0;
+    erase(it);
+    return 1;
+  }
+};
+
 // ---- tree -----------------------------------------------------------------
 
 struct Node {
@@ -109,7 +173,7 @@ struct Node {
   double t = 0.0, t_min = 0.0, t_max = 0.0;
   std::vector<Mut> muts;                     // time-ordered (t, site)
   Sites miss;                                // missing sites on this branch
-  std::unordered_map<int32_t, int8_t> fs;    // missation from_states != ref
+  FlatMap<int8_t> fs;                        // missation from_states != ref
 };
 
 struct Tree {
@@ -142,7 +206,7 @@ static inline void set_from_state(Tree& t, int32_t node, int32_t site, int8_t s)
 // ---- site-delta algebra (site_deltas.py) ----------------------------------
 
 struct FT { int8_t from, to; };
-using Deltas = std::unordered_map<int32_t, FT>;
+using Deltas = FlatMap<FT>;
 
 struct DeltaChainBroken : std::runtime_error {
   DeltaChainBroken() : std::runtime_error("delta chain broken") {}
@@ -157,7 +221,7 @@ static inline void push_back_d(Deltas& d, int32_t site, int8_t frm, int8_t to) {
     else
       it->second.to = to;
   } else if (frm != to) {
-    d.emplace(site, FT{frm, to});
+    d.v.emplace_back(site, FT{frm, to});  // find above proved absence
   }
 }
 
@@ -170,14 +234,13 @@ static inline void push_front_d(Deltas& d, int32_t site, int8_t frm, int8_t to) 
     else
       it->second.from = frm;
   } else if (frm != to) {
-    d.emplace(site, FT{frm, to});
+    d.v.emplace_back(site, FT{frm, to});  // find above proved absence
   }
 }
 
-static Deltas compose_d(const Deltas& d1, const Deltas& d2) {
-  Deltas out = d1;
+static void compose_d(const Deltas& d1, const Deltas& d2, Deltas& out) {
+  out = d1;
   for (const auto& kv : d2) push_back_d(out, kv.first, kv.second.from, kv.second.to);
-  return out;
 }
 
 // State of `site` at point (branch, t): first mutation at/above wins.
@@ -197,9 +260,9 @@ static int8_t state_at(const Tree& tr, int32_t branch, double t, int32_t site) {
 }
 
 // Site deltas between two tree points, composed through the root.
-static Deltas deltas_between(const Tree& tr, int32_t ba, double ta,
-                             int32_t bb, double tb) {
-  Deltas out;
+static void deltas_between(const Tree& tr, int32_t ba, double ta,
+                           int32_t bb, double tb, Deltas& out) {
+  out.clear();
   int32_t cur = ba;
   bool first = true;
   while (cur != NO_NODE) {
@@ -211,7 +274,8 @@ static Deltas deltas_between(const Tree& tr, int32_t ba, double ta,
     first = false;
     cur = tr.nodes[cur].parent;
   }
-  std::vector<int32_t> path;
+  static thread_local std::vector<int32_t> path;  // not reentrant; per-thread
+  path.clear();
   cur = bb;
   while (cur != NO_NODE) {
     path.push_back(cur);
@@ -225,7 +289,6 @@ static Deltas deltas_between(const Tree& tr, int32_t ba, double ta,
       push_back_d(out, m.site, m.from, m.to);
     }
   }
-  return out;
 }
 
 // ---- incomplete gamma (study needs Q(a,x) and its inverse) ----------------
@@ -671,7 +734,7 @@ static std::vector<Mut> sample_unconstrained_mutational_history(Rng& rng,
                                                                 int32_t L,
                                                                 double T,
                                                                 double mu) {
-  std::unordered_map<int32_t, int8_t> cur_state;
+  FlatMap<int8_t> cur_state;
   std::vector<Mut> trajectory;
   double t = 0.0;
   for (;;) {
@@ -694,7 +757,7 @@ static void adjust_mutational_history(std::vector<Mut>& history,
                                       const Deltas& site_deltas,
                                       const Tree& tree, int32_t end_branch,
                                       double end_t) {
-  std::unordered_map<int32_t, int8_t> end_states;
+  FlatMap<int8_t> end_states;
   for (auto it = history.rbegin(); it != history.rend(); ++it) {
     Mut& m = *it;
     m.t += end_t;
@@ -757,6 +820,13 @@ struct SprContext {
   std::vector<double> ref_cum_Q;  // [L+1]
   double lambda_ref;
   double mu_proposal = -1.0;
+  // per-context scratch reused across moves (capacity persists; move() is
+  // not reentrant, and each context is owned by one burst thread)
+  Deltas mv_deltas_nexus_to_X;
+  Deltas mv_d_new_to_old;
+  Deltas mv_new_deltas;
+  std::vector<Mut> mv_merged;
+  std::vector<int32_t> mv_path_up;
 
   double qa(int32_t l, int a) const { return qatab[part[l] * 4 + a]; }
   double qrate(int32_t l, int a, int b) const {
@@ -806,7 +876,7 @@ struct SprContext {
 
   // lambda contribution of a sliding missation set just above its position
   double lam_over_miss(const Sites& sites,
-                       const std::unordered_map<int32_t, int8_t>& from) const {
+                       const FlatMap<int8_t>& from) const {
     double out = 0.0;
     for (int32_t l : sites) {
       auto it = from.find(l);
@@ -850,14 +920,20 @@ struct SprContext {
     return false;
   }
 
-  Sites miss_at_or_above(int32_t node) const {
-    Sites out;
+  void miss_at_or_above(int32_t node, Sites& out) const {
+    // single gather + sort instead of repeated set_unions up the root path
+    // (ancestor miss sets are disjoint after canonical factoring, but a
+    // sort+unique keeps this robust to transient non-canonical states);
+    // fills a caller-owned scratch so the hot path never allocates
+    out.clear();
     int32_t cur = node;
     while (cur != NO_NODE) {
-      out = sites_union(out, tree.nodes[cur].miss);
+      const Sites& m = tree.nodes[cur].miss;
+      out.insert(out.end(), m.begin(), m.end());
       cur = tree.nodes[cur].parent;
     }
-    return out;
+    std::sort(out.begin(), out.end());
+    out.erase(std::unique(out.begin(), out.end()), out.end());
   }
 
   // -- analysis -------------------------------------------------------------
@@ -964,7 +1040,7 @@ struct SprContext {
     px.hot_sites = px.warm_sites.minus(miss_S);
 
     Sites sliding_sites = miss_S;
-    std::unordered_map<int32_t, int8_t> sliding_from = t.nodes[S].fs;
+    FlatMap<int8_t> sliding_from = t.nodes[S].fs;
     px.partial_lambda_at_A = lambda_at(X);
     const auto& xmuts = t.nodes[X].muts;
     for (auto it = xmuts.rbegin(); it != xmuts.rend(); ++it)
@@ -1430,7 +1506,8 @@ struct SprContext {
     if (SS == P) SS = S;
 
     // 1. strip X's branch mutations into the running nexus->X deltas
-    Deltas deltas_nexus_to_X;
+    Deltas& deltas_nexus_to_X = mv_deltas_nexus_to_X;
+    deltas_nexus_to_X.clear();
     for (const Mut& m : t.nodes[X].muts)
       push_back_d(deltas_nexus_to_X, m.site, m.from, m.to);
     t.nodes[X].muts.clear();
@@ -1459,19 +1536,25 @@ struct SprContext {
       else
         t.nodes[G].c1 = S;
       t.nodes[S].parent = G;
-      // prepend P's mutations to S's
-      std::vector<Mut> merged = t.nodes[P].muts;
+      // prepend P's mutations to S's (via reusable scratch)
+      std::vector<Mut>& merged = mv_merged;
+      merged.clear();
+      merged.insert(merged.end(), t.nodes[P].muts.begin(),
+                    t.nodes[P].muts.end());
       merged.insert(merged.end(), t.nodes[S].muts.begin(),
                     t.nodes[S].muts.end());
-      t.nodes[S].muts = std::move(merged);
+      std::swap(t.nodes[S].muts, merged);
       t.nodes[P].muts.clear();
     } else {
       // P was the root: S becomes the root, carrying the root deltas
       t.nodes[S].parent = NO_NODE;
-      std::vector<Mut> merged = t.nodes[P].muts;
+      std::vector<Mut>& merged = mv_merged;
+      merged.clear();
+      merged.insert(merged.end(), t.nodes[P].muts.begin(),
+                    t.nodes[P].muts.end());
       merged.insert(merged.end(), t.nodes[S].muts.begin(),
                     t.nodes[S].muts.end());
-      t.nodes[S].muts = std::move(merged);
+      std::swap(t.nodes[S].muts, merged);
       t.nodes[P].muts.clear();
       t.root = S;
     }
@@ -1506,7 +1589,8 @@ struct SprContext {
     }
 
     // 3. recompose the nexus deltas through the pruned tree
-    Deltas d_new_to_old = deltas_between(t, SS, new_t_P, S, old_t_P);
+    Deltas& d_new_to_old = mv_d_new_to_old;
+    deltas_between(t, SS, new_t_P, S, old_t_P, d_new_to_old);
     miss_X = t.nodes[X].miss;
     for (auto it = d_new_to_old.begin(); it != d_new_to_old.end();) {
       if (sites_contains(miss_X, it->first)) {
@@ -1517,7 +1601,8 @@ struct SprContext {
         ++it;
       }
     }
-    Deltas new_deltas = compose_d(d_new_to_old, deltas_nexus_to_X);
+    Deltas& new_deltas = mv_new_deltas;
+    compose_d(d_new_to_old, deltas_nexus_to_X, new_deltas);
 
     // 4. attach: split branch GG->SS at new_t_P
     int32_t GG = t.nodes[SS].parent;
@@ -1525,7 +1610,9 @@ struct SprContext {
     miss_X = t.nodes[X].miss;
 
     // Un-factor missations above the attach point that X's data invalidates
-    std::vector<int32_t> path_up{SS};
+    std::vector<int32_t>& path_up = mv_path_up;
+    path_up.clear();
+    path_up.push_back(SS);
     {
       int32_t cur = GG;
       while (cur != NO_NODE) {
@@ -1638,11 +1725,14 @@ struct CandidateRegion {
 };
 
 struct SprStudyBuilder {
-  const Tree& tree;
-  int32_t X;
-  double t_X;
-  const Sites& missing_at_X;
-  int64_t max_muts_from_start;
+  // resettable: one instance per Mixer is reused across moves so the work
+  // stack / region list / delta map keep their capacity (they were ~10% of
+  // the kernel's CPU as per-move allocations)
+  const Tree* tree_p = nullptr;
+  int32_t X = NO_NODE;
+  double t_X = 0.0;
+  const Sites* missing_at_X_p = nullptr;
+  int64_t max_muts_from_start = 0;
   int32_t cur_branch = NO_NODE;
   int32_t cur_mut_idx = -1;
   int64_t cur_muts_from_start = 0;
@@ -1651,12 +1741,29 @@ struct SprStudyBuilder {
   std::vector<std::tuple<int32_t, int32_t, bool>> work_stack;
   std::vector<CandidateRegion> result;
 
+  SprStudyBuilder() = default;
   SprStudyBuilder(const Tree& t, int32_t X_, double t_X_, const Sites& miss,
-                  int64_t limit)
-      : tree(t), X(X_), t_X(t_X_), missing_at_X(miss),
-        max_muts_from_start(limit) {}
+                  int64_t limit) {
+    reset(t, X_, t_X_, miss, limit);
+  }
+
+  void reset(const Tree& t, int32_t X_, double t_X_, const Sites& miss,
+             int64_t limit) {
+    tree_p = &t;
+    X = X_;
+    t_X = t_X_;
+    missing_at_X_p = &miss;
+    max_muts_from_start = limit;
+    cur_branch = NO_NODE;
+    cur_mut_idx = -1;
+    cur_muts_from_start = 0;
+    cur_to_X_deltas.clear();
+    work_stack.clear();
+    result.clear();
+  }
 
   double region_t_min(int32_t branch, int32_t mut_idx) const {
+    const Tree& tree = *tree_p;
     if (branch == tree.root) return NEG_BIG;
     const auto& muts = tree.nodes[branch].muts;
     if (mut_idx == 0) return tree.nodes[tree.nodes[branch].parent].t;
@@ -1678,6 +1785,8 @@ struct SprStudyBuilder {
   }
 
   void move_to_neighbor(int32_t tb, int32_t ti, bool is_backtracking) {
+    const Tree& tree = *tree_p;
+    const Sites& missing_at_X = *missing_at_X_p;
     if (cur_branch != NO_NODE && tb == cur_branch) {
       const auto& muts = tree.nodes[cur_branch].muts;
       if (ti == cur_mut_idx + 1) {  // moving down past cur
@@ -1699,6 +1808,7 @@ struct SprStudyBuilder {
   }
 
   void visit_cur_region() {
+    const Tree& tree = *tree_p;
     int32_t b = cur_branch, mi = cur_mut_idx;
     const auto& muts = tree.nodes[b].muts;
     double t_min, t_max;
@@ -1719,6 +1829,7 @@ struct SprStudyBuilder {
   }
 
   void seed_neighbors_except(int32_t old_branch, int32_t old_mut_idx) {
+    const Tree& tree = *tree_p;
     int32_t cb = cur_branch, ci = cur_mut_idx;
     if (cb != tree.root) {
       if (ci > 0) {
@@ -1780,7 +1891,7 @@ struct SprStudyBuilder {
   }
 
   void account_for_Xs_detachment(bool can_change_root) {
-    const Tree& t = tree;
+    const Tree& t = *tree_p;
     if (X == NO_NODE) {
       if (!can_change_root) {
         result.erase(std::remove_if(result.begin(), result.end(),
@@ -1833,29 +1944,31 @@ struct SprStudyBuilder {
   }
 
   void remove_regions_in_Xs_future() {
-    std::vector<CandidateRegion> out;
-    out.reserve(result.size());
-    for (CandidateRegion& r : result) {
+    size_t w = 0;  // in-place compaction: no per-move allocation
+    for (size_t i = 0; i < result.size(); i++) {
+      CandidateRegion r = result[i];
       if (r.t_min >= t_X) continue;
       if (r.t_max > t_X) r.t_max = t_X;
-      out.push_back(r);
+      result[w++] = r;
     }
-    result = std::move(out);
+    result.resize(w);
   }
 };
 
 struct SprStudy {
   const Tree& tree;
   double lambda_X, f, t_X, t_max_tip, mu;
-  std::vector<CandidateRegion> regions;
+  // view into the (reusable) builder's region list; the builder must outlive
+  // this study and not be reset while the study is queried
+  std::vector<CandidateRegion>& regions;
   double log_Wmax = 0.0, sum_W = 0.0;
 
   SprStudy(SprStudyBuilder& builder, double lambda_X_, double annealing_factor,
            double t_X_, double t_max_tip_)
-      : tree(builder.tree), lambda_X(lambda_X_), f(annealing_factor),
-        t_X(t_X_), t_max_tip(t_max_tip_), regions(std::move(builder.result)) {
+      : tree(*builder.tree_p), lambda_X(lambda_X_), f(annealing_factor),
+        t_X(t_X_), t_max_tip(t_max_tip_), regions(builder.result) {
     mu = lambda_X /
-         (double)((int64_t)tree.L - (int64_t)builder.missing_at_X.size());
+         (double)((int64_t)tree.L - (int64_t)builder.missing_at_X_p->size());
     if (regions.empty()) throw std::runtime_error("SPR study empty");
 
     for (CandidateRegion& r : regions) {
@@ -1992,6 +2105,11 @@ struct Mixer {
   double t_max_tip;
   int64_t n_accepted = 0, n_proposed = 0;
   double delta_log_G = 0.0, delta_log_coal = 0.0;
+  // per-mixer scratch, reused across moves (capacity persists)
+  SprStudyBuilder study_builder;
+  Sites scratch_missing_at_X;
+  Deltas scratch_deltas_P_to_X;
+  std::vector<int32_t> scratch_branches;
 
   Mixer(Tree& t, Rng& r, SprContext& c, Coal& co, bool ccr, double tmt)
       : tree(t), rng(r), ctx(c), coal(co), can_change_root(ccr),
@@ -2071,7 +2189,8 @@ struct Mixer {
           SS = GG;
           GG = t.nodes[GG].parent;
         }
-        std::vector<int32_t> branches;
+        std::vector<int32_t>& branches = scratch_branches;
+        branches.clear();
         enumerate_straddling(SS, old_P_t, X, branches);
         double alpha_ratio = (1.0 / (double)branches.size()) / 1.0;
         spr_move_core(X, SS, new_P_t, alpha_ratio);
@@ -2081,7 +2200,8 @@ struct Mixer {
     } else {
       if (new_P_t > t.nodes[X].t) return;
       if (new_P_t > t.nodes[S].t) {
-        std::vector<int32_t> branches;
+        std::vector<int32_t>& branches = scratch_branches;
+        branches.clear();
         enumerate_straddling(P, new_P_t, X, branches);
         if (branches.empty()) return;
         int32_t SS = branches[rng.integers(0, (int64_t)branches.size())];
@@ -2113,13 +2233,18 @@ struct Mixer {
     Graft old_graft = ctx.analyze_graft(X);
     ctx.peel_graft(old_graft);
 
-    Deltas old_deltas_P_to_X = summarize_closed(old_graft);
-    Sites missing_at_X = ctx.miss_at_or_above(X);
+    summarize_closed(old_graft, scratch_deltas_P_to_X);
+    ctx.miss_at_or_above(X, scratch_missing_at_X);
+    Sites& missing_at_X = scratch_missing_at_X;
 
-    SprStudyBuilder pre_builder(t, X, t_X, missing_at_X, limit);
-    pre_builder.seed_fill_from(old_S, 0, old_deltas_P_to_X, can_change_root);
-    SprStudy pre_study(pre_builder, lam_X, annealing_factor, t_X, t_max_tip);
+    study_builder.reset(t, X, t_X, missing_at_X, limit);
+    study_builder.seed_fill_from(old_S, 0, scratch_deltas_P_to_X,
+                                 can_change_root);
+    SprStudy pre_study(study_builder, lam_X, annealing_factor, t_X,
+                       t_max_tip);
 
+    // extract everything the pre-study provides BEFORE the builder is reset
+    // for the post-study (the study views the builder's region list)
     int32_t new_region = pre_study.pick_nexus_region(rng);
     int32_t new_S = pre_study.regions[new_region].branch;
     double new_t_P = pre_study.pick_time_in_region(new_region, rng);
@@ -2138,10 +2263,12 @@ struct Mixer {
     ctx.move(X, new_S, new_t_P);
     Graft new_graft = ctx.propose_new_graft(X, rng);
 
-    Deltas new_deltas_P_to_X = summarize_closed(new_graft);
-    SprStudyBuilder post_builder(t, X, t_X, missing_at_X, limit);
-    post_builder.seed_fill_from(new_S, 0, new_deltas_P_to_X, can_change_root);
-    SprStudy post_study(post_builder, lam_X, annealing_factor, t_X, t_max_tip);
+    summarize_closed(new_graft, scratch_deltas_P_to_X);
+    study_builder.reset(t, X, t_X, missing_at_X, limit);
+    study_builder.seed_fill_from(new_S, 0, scratch_deltas_P_to_X,
+                                 can_change_root);
+    SprStudy post_study(study_builder, lam_X, annealing_factor, t_X,
+                        t_max_tip);
     int32_t old_region = post_study.find_region(old_S, old_t_P);
     if (old_region == -1) {
       // reverse proposal can't produce the old state -> reject
@@ -2168,13 +2295,12 @@ struct Mixer {
     }
   }
 
-  static Deltas summarize_closed(const Graft& graft) {
-    Deltas out;
+  static void summarize_closed(const Graft& graft, Deltas& out) {
+    out.clear();
     for (const BranchInfo& bi : graft.branch_infos)
       if (!bi.is_open)
         for (const auto& kv : bi.hot_deltas_to_X)
           out[kv.first] = kv.second;  // update semantics (dict.update)
-    return out;
   }
 
   void run_burst(int64_t n_moves) {
