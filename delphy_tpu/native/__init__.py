@@ -30,7 +30,7 @@ f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
 
 
 def _build() -> str | None:
-    flags = ["-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
+    flags = ["-O3", "-g", "-march=native", "-std=c++17", "-shared", "-fPIC"]
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read() + " ".join(flags).encode()).hexdigest()[:16]
     cache = os.path.join(os.path.expanduser("~"), ".cache", "delphy_tpu_native")

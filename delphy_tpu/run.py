@@ -281,11 +281,20 @@ class Run:
         cadence = self.local_moves_per_global_move
         K = self.topology_burst_chunks
         P = self.device_partitions
+        # cap the device work per dispatch: a single XLA execution that runs
+        # for minutes can trip device/tunnel watchdogs (observed as a fatal
+        # "TPU device error" at 100k tips, where K=32 boundaries is 320M
+        # moves in one program); with lmpgm=50N this binds only above ~20k
+        # tips
+        import os as _os
+        max_dispatch = int(_os.environ.get("DELPHY_TPU_MAX_DISPATCH_MOVES",
+                                           str(32_000_000)))
+        k_cap = max(1, min(K, max_dispatch // max(1, cadence)))
         while done < n_steps:
             remaining = n_steps - done
             # up to K boundaries in ONE dispatch: amortizes the per-dispatch
             # host<->device latency of the tunneled TPU
-            boundaries = max(1, min(K, remaining // cadence))
+            boundaries = max(1, min(k_cap, remaining // cadence))
             chunk = min(remaining, boundaries * cadence)
             per_boundary = (chunk + boundaries - 1) // boundaries
             # block budget from the MEASURED attempted-moves-per-block rate
