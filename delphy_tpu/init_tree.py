@@ -54,24 +54,174 @@ def _fitch_states(T, N, root, children_ro, post, tip_state, tip_missing):
     return state
 
 
+def gls_regression_root(edges, adj, N: int, T: int, dates: np.ndarray,
+                        rng: np.random.Generator, exclude_node: int):
+    """GLS root-to-tip regression rooting over an unrooted mutation-annotated
+    edge graph (reference: utree.cpp:1466-1760 gls_regression_root_utree).
+
+    Unlike OLS, tips are weighted by the phylogenetic covariance of their
+    root-to-tip distances: sharing a branch of z mutations adds variance
+    sigma^2 = z + epsilon to all tips below it, folded in via Sherman-Morrison
+    rank-1 updates on six sufficient statistics per directed arc
+    (1/dt/m inner products under the precision matrix W).
+
+    Returns (edge_id, k, lambda_muts_per_day, t_mrca) where k is the number
+    of the edge's mutations on the edge's `a`-endpoint side of the new root,
+    or None when the regression is inapplicable (<=2 tips, no date variance)
+    and the caller should fall back (the reference falls back to midpoint).
+    """
+    if T <= 2:
+        return None
+    dates = np.asarray(dates, dtype=np.float64)
+    mean_t = dates.mean()
+    var_t = dates.var()
+    if var_t <= 0.0:
+        return None
+    dt = dates - mean_t
+    total_deltas = sum(len(d) for (_, _, d) in edges)
+    eps = 0.05 * total_deltas / T
+
+    # stats vector: [1W1, dtW1, mW1, dtWdt, mWdt, mWm]; 1W1 == -1 flags an
+    # unshifted tip (its centered date stashed in dtW1)
+    def tip_stats(i):
+        return np.array([-1.0, dt[i], 0.0, 0.0, 0.0, 0.0])
+
+    def shift(s, z):
+        zd = float(z)
+        sig = zd + eps
+        a11, adt1, am1, adtdt, amdt, amm = s
+        if a11 >= 0.0:
+            g = 1.0 / (1.0 + sig * a11)
+            sm1 = am1 + zd * a11
+            return np.array([
+                a11 * g,
+                adt1 * g,
+                sm1 * g,
+                adtdt - sig * adt1 * adt1 * g,
+                (amdt + zd * adt1) - sig * adt1 * sm1 * g,
+                (amm + 2.0 * zd * am1 + zd * zd * a11) - sig * sm1 * sm1 * g,
+            ])
+        dt_x = adt1
+        inv = 1.0 / sig
+        return np.array([inv, dt_x * inv, zd * inv, dt_x * dt_x * inv,
+                         zd * dt_x * inv, zd * zd * inv])
+
+    E = len(edges)
+    # gstats[2e] = Sub(a->b) measured from b; gstats[2e+1] = Sub(b->a) from a
+    gstats = [None] * (2 * E)
+
+    # orient the unrooted graph at tip 0 (excluding the suppressed guide root)
+    up_edge = np.full(N, -1, dtype=np.int64)
+    order = []
+    seen = np.zeros(N, dtype=bool)
+    seen[0] = True
+    if 0 <= exclude_node < N:
+        seen[exclude_node] = True
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        order.append(u)
+        for (v, eid) in adj[u]:
+            if not seen[v]:
+                seen[v] = True
+                up_edge[v] = eid
+                stack.append(v)
+
+    def arc_into(eid, node):
+        """gstats index for the arc whose Sub is measured from `node`."""
+        a, b, _ = edges[eid]
+        return 2 * eid if node == b else 2 * eid + 1
+
+    # pass 1 (post-order): subtree stats measured from each node
+    for u in order[::-1]:
+        if up_edge[u] < 0:
+            continue
+        if u < T:
+            gstats[arc_into(up_edge[u], u)] = tip_stats(u)
+        else:
+            acc = np.zeros(6)
+            for (v, eid) in adj[u]:
+                if eid == up_edge[u]:
+                    continue
+                acc = acc + shift(gstats[arc_into(eid, v)],
+                                  len(edges[eid][2]))
+            gstats[arc_into(up_edge[u], u)] = acc
+    # pass 2 (pre-order): outside-subtree stats, measured from the parent
+    for p in order:
+        for (x, eid) in adj[p]:
+            if eid == up_edge[p] or up_edge[x] != eid:
+                continue
+            if p < T:
+                gstats[arc_into(eid, p)] = tip_stats(p)
+            else:
+                acc = np.zeros(6)
+                for (y, eid2) in adj[p]:
+                    if eid2 == eid:
+                        continue
+                    acc = acc + shift(gstats[arc_into(eid2, y)],
+                                      len(edges[eid2][2]))
+                gstats[arc_into(eid, p)] = acc
+
+    # pass 3: minimize chi^2 over (edge, split position)
+    best = None  # (chi2, candidates)
+    best_chi2 = np.inf
+    cands = []
+    for eid, (a, b, d) in enumerate(edges):
+        sa = gstats[2 * eid + 1]  # a's side, measured from a
+        sb = gstats[2 * eid]      # b's side, measured from b
+        if sa is None or sb is None:
+            continue
+        D = len(d)
+        for k in range(D + 1):
+            s = shift(sa, k) + shift(sb, D - k)
+            a11, adt1, am1, adtdt, amdt, amm = s
+            den = adtdt * a11 - adt1 * adt1
+            if den <= 0.0:
+                continue
+            alpha = (amdt * a11 - am1 * adt1) / den
+            if alpha <= 0.0:
+                continue
+            beta = (am1 - alpha * adt1) / a11
+            chi2 = amm - alpha * amdt - beta * am1
+            if chi2 < best_chi2 - 1e-12:
+                best_chi2 = chi2
+                cands = [(eid, k, alpha, beta)]
+            elif chi2 <= best_chi2 + 1e-12:
+                cands.append((eid, k, alpha, beta))
+    if not cands:
+        return None
+    eid, k, alpha, beta = cands[rng.integers(len(cands))]
+    t_mrca = mean_t - beta / alpha
+    return eid, k, alpha, t_mrca
+
+
 def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
                        tip_miss_intervals: list, tip_dates: list,
                        names: list | None = None,
                        rng: np.random.Generator | None = None,
-                       native: bool | None = None) -> FlatTree:
-    """Guide topology -> refinement -> OLS rooting -> timed FlatTree.
+                       native: bool | None = None,
+                       rooting: str | None = None) -> FlatTree:
+    """Guide topology -> refinement -> OLS/GLS rooting -> timed FlatTree.
 
     Two engines produce the rooted mutation-annotated topology:
     - the native C++ pipeline (native/init_native.cpp): guide tree by
       best-first parsimony placement, nearest-first rebuild, SPR refinement,
       O(N) rerooting DP — the scalable default (reference utree.h:235-317);
     - the Python fallback below: O(T^2) greedy guide + Fitch factoring.
+
+    rooting: "ols" (default; what the reference's production pipeline uses,
+    utree.cpp:1921) or "gls" (covariance-weighted regression rooting,
+    utree.cpp:1466-1760; Python path only).
     """
     import os
     from .phylo import build_greedy_tree
 
     rng = rng or np.random.default_rng(0)
     T = len(tip_deltas)
+    if rooting is None:
+        rooting = os.environ.get("DELPHY_TPU_INIT_ROOTING", "ols")
+    if rooting == "gls" and native is None:
+        native = False  # GLS rooting lives in the Python pipeline
     if native is None:
         native = T >= 12 or os.environ.get("DELPHY_TPU_NATIVE_INIT") == "1"
     if native and T >= 4:
@@ -152,9 +302,11 @@ def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
     rc0, rc1 = (int(x) for x in children_ro[R])
     add_edge(rc0, rc1)   # suppressed-root bridge
 
-    # ---- phase 3: OLS root-to-tip regression over edge midpoints ----------
-    # (utree.h:289-306 ols_regression_root_utree: maximize R^2; the slope
-    # estimates the clock rate, the intercept t_MRCA)
+    # ---- phase 3: root-to-tip date regression over edge positions ---------
+    # OLS (default): maximize R^2 over edge midpoints (utree.h:289-306);
+    # GLS: minimize covariance-weighted chi^2 over per-mutation positions
+    # (utree.cpp:1466-1760).  The slope estimates the clock rate, the
+    # intercept t_MRCA.
     w = np.array([len(d) for (_, _, d) in edges], dtype=np.float64)
 
     # mutation distance from every node to every tip: one DFS per tip
@@ -173,26 +325,33 @@ def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
                     stack.append((v, du + w[eid]))
 
     dates = np.array([guide.t[i] for i in range(T)], dtype=np.float64)
-    t_var = dates.var()
-    best = None  # (r2, eid, slope, intercept)
-    for eid, (a, b, _) in enumerate(edges):
-        d_mid = np.minimum(dist[a], dist[b]) + 0.5 * w[eid]
-        dv = d_mid.var()
-        cov = np.mean((d_mid - d_mid.mean()) * (dates - dates.mean()))
-        if dv <= 0 or t_var <= 0:
-            r2, slope = -1.0, 0.0
-        else:
-            slope = cov / t_var           # muts per day
-            r2 = cov * cov / (dv * t_var)
-            if slope <= 0:
-                r2 = -r2                  # prefer positive-clock rootings
-        if best is None or r2 > best[0]:
-            icept = d_mid.mean() - slope * dates.mean()
-            best = (r2, eid, slope, icept)
-    _, root_eid, slope, icept = best
-    slope = max(slope, 1.0 / 26.0)        # floor ~ 13 days/mutation heuristic
-    # t where expected root-to-tip distance hits 0 => t_MRCA estimate
-    t_mrca = -icept / slope
+    gls_split = None
+    if rooting == "gls":
+        g = gls_regression_root(edges, adj, N, T, dates, rng, R)
+        if g is not None:
+            root_eid, gls_split, slope, t_mrca = g
+            slope = max(slope, 1.0 / 26.0)
+    if gls_split is None:  # "ols", or GLS inapplicable (reference falls back)
+        t_var = dates.var()
+        best = None  # (r2, eid, slope, intercept)
+        for eid, (a, b, _) in enumerate(edges):
+            d_mid = np.minimum(dist[a], dist[b]) + 0.5 * w[eid]
+            dv = d_mid.var()
+            cov = np.mean((d_mid - d_mid.mean()) * (dates - dates.mean()))
+            if dv <= 0 or t_var <= 0:
+                r2, slope = -1.0, 0.0
+            else:
+                slope = cov / t_var           # muts per day
+                r2 = cov * cov / (dv * t_var)
+                if slope <= 0:
+                    r2 = -r2                  # prefer positive-clock rootings
+            if best is None or r2 > best[0]:
+                icept = d_mid.mean() - slope * dates.mean()
+                best = (r2, eid, slope, icept)
+        _, root_eid, slope, icept = best
+        slope = max(slope, 1.0 / 26.0)    # floor ~ 13 days/mutation heuristic
+        # t where expected root-to-tip distance hits 0 => t_MRCA estimate
+        t_mrca = -icept / slope
 
     # ---- phase 4: orient at the chosen edge and emit the FlatTree ---------
     ra, rb, rdiff = edges[root_eid]
@@ -203,9 +362,15 @@ def build_initial_tree(ref_seq: np.ndarray, tip_deltas: list,
     depth = np.zeros(N, dtype=np.float64)  # mutation distance from root
     order = [R]
     mut_sites = [[] for _ in range(N)]     # sites mutating on branch above n
-    # split the root edge's mutations between its two half-branches
-    for l in rdiff:
-        (mut_sites[ra] if rng.random() < 0.5 else mut_sites[rb]).append(l)
+    # split the root edge's mutations between its two half-branches; the GLS
+    # rooting prescribes the split position k (utree.cpp:1691-1696), OLS
+    # splits randomly
+    if gls_split is not None:
+        mut_sites[ra] = list(rdiff[:gls_split])
+        mut_sites[rb] = list(rdiff[gls_split:])
+    else:
+        for l in rdiff:
+            (mut_sites[ra] if rng.random() < 0.5 else mut_sites[rb]).append(l)
     depth[ra] = len(mut_sites[ra])
     depth[rb] = len(mut_sites[rb])
     stack = [ra, rb]

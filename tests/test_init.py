@@ -126,3 +126,64 @@ def test_mp_plus_timing_init_pipeline():
     run = Run(tree, seed=2, num_cells=64, local_moves_per_global_move=300)
     run.do_mcmc_steps(1500)
     run.check_derived_quantities(1e-5)
+
+# ---- GLS regression rooting (utree.cpp:1466-1760) --------------------------
+
+def _gls_tree(deltas, dates, L=6, rooting="gls", seed=42):
+    from delphy_tpu.init_tree import build_initial_tree
+    ref = np.zeros(L, dtype=np.int8)
+    T = len(deltas)
+    return build_initial_tree(ref, deltas, [[] for _ in range(T)], dates,
+                              rng=np.random.default_rng(seed),
+                              rooting=rooting)
+
+
+def test_gls_rooting_three_tips_known_rate():
+    # ladder of dated tips with mutation counts proportional to date: the
+    # GLS root must land before the earliest tip with a positive clock
+    # (mirrors reference utree_tests gls_regression_root_three_tips_known_rate)
+    tree = _gls_tree(
+        deltas=[[(0, 1)], [(1, 2), (2, 3)], [(3, 1), (4, 2), (5, 3)]],
+        dates=[(100.0, 100.0), (200.0, 200.0), (300.0, 300.0)])
+    tree.check_integrity()
+    assert tree.t[tree.root] < 100.0
+    assert not tree.is_tip(tree.root)
+
+
+def test_gls_rooting_same_dates_falls_back():
+    # zero date variance: regression inapplicable -> falls back (reference
+    # falls back to midpoint; here the OLS path's degenerate handling)
+    tree = _gls_tree(
+        deltas=[[(0, 1)], [(1, 2)], [(2, 3)]],
+        dates=[(100.0, 100.0), (100.0, 100.0), (100.0, 100.0)], L=4)
+    tree.check_integrity()
+    assert tree.t[tree.root] < 100.0
+
+
+def test_gls_rooting_star_topology():
+    tree = _gls_tree(
+        deltas=[[(0, 1)], [(1, 2)], [(2, 3)], [(3, 1)]],
+        dates=[(10.0, 10.0), (20.0, 20.0), (30.0, 30.0), (40.0, 40.0)])
+    tree.check_integrity()
+    assert tree.t[tree.root] < 10.0
+
+
+def test_gls_close_to_ols_on_clean_clock_data():
+    # on well-behaved simulated data GLS and OLS should pick similar roots
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        10, 400, mu=4e-3, missing_fraction=0.0, seed=5)
+    from delphy_tpu.init_tree import build_initial_tree
+    t_ols = build_initial_tree(ref, deltas, miss, dates, names=names,
+                               rng=np.random.default_rng(7), native=False,
+                               rooting="ols")
+    t_gls = build_initial_tree(ref, deltas, miss, dates, names=names,
+                               rng=np.random.default_rng(7), native=False,
+                               rooting="gls")
+    t_gls.check_integrity()
+    span = max(d[0] for d in dates) - min(d[0] for d in dates)
+    assert abs(t_gls.t[t_gls.root] - t_ols.t[t_ols.root]) < 3.0 * span
+
+    # and the GLS tree runs MCMC end-to-end
+    run = Run(t_gls, seed=3, num_cells=64, local_moves_per_global_move=300)
+    run.do_mcmc_steps(900)
+    run.check_derived_quantities(1e-5)

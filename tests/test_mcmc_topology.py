@@ -56,3 +56,24 @@ def test_full_mix_determinism():
     assert run_a.log_posterior == run_b.log_posterior
     np.testing.assert_array_equal(np.asarray(run_a.ts.parent),
                                   np.asarray(run_b.ts.parent))
+
+def test_partitioned_burst_log_coal_fresh():
+    """After a partitioned topology burst, ledger.log_coal must track the
+    tree (refreshed from the post-burst grid), not go stale for the rest of
+    the boundary window (VERDICT r1 weak #5)."""
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        100, 300, mu=2e-3, missing_fraction=0.05, seed=31)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(31))
+    run = Run(tree, seed=31, hyp=PriorConfig(), num_cells=128,
+              local_moves_per_global_move=500,
+              topology_moves_enabled=True, topology_partitions=4,
+              topology_parallel_processes=False)
+    run.do_mcmc_steps(4000)
+    assert run.topology_proposed > 0
+    got = float(run.ledger.log_coal)
+    want = float(run.calc_cur_ledger().log_coal)
+    # the refresh uses the host grid (<=400 cells) vs the device ledger grid:
+    # allow quadrature placement differences, but catch O(move-delta)
+    # staleness
+    assert abs(got - want) < 0.02 * abs(want) + 0.5, (got, want)
