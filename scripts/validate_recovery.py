@@ -14,23 +14,27 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 from delphy_tpu.sim import simulate_dataset
-from delphy_tpu.phylo import build_greedy_tree
+from delphy_tpu.init_tree import build_initial_tree
 from delphy_tpu.run import Run
 
 
 def main():
-    T, L = 24, 3000
+    T = int(os.environ.get("VAL_T", "24"))
+    L = int(os.environ.get("VAL_L", "3000"))
+    seed = int(os.environ.get("VAL_SEED", "101"))
     mu_true = 1e-2 / 365.0  # 1e-2 subs/site/year (informative regime)
     ref, deltas, miss, dates, names, truth = simulate_dataset(
         T, L, mu=mu_true, kappa=3.0, sample_window_days=400.0,
-        coalescent_n0=150.0, missing_fraction=0.05, seed=101)
+        coalescent_n0=150.0, missing_fraction=0.05, seed=seed)
     n_deltas = sum(len(d) for d in deltas)
-    print(f"dataset: {T} tips x {L} sites, {n_deltas} tip deltas")
-    tree = build_greedy_tree(ref, deltas, miss, dates, names=names,
-                             rng=np.random.default_rng(101))
-    run = Run(tree, seed=101, num_cells=256)
+    print(f"dataset: {T} tips x {L} sites, {n_deltas} tip deltas, seed {seed}")
+    tree = build_initial_tree(ref, deltas, miss, dates, names=names,
+                              rng=np.random.default_rng(seed))
+    run = Run(tree, seed=seed, num_cells=256)
 
-    burn_in, n_samples, thin = 40_000, 60, 4_000
+    burn_in = int(os.environ.get("VAL_BURN", "40000"))
+    n_samples = int(os.environ.get("VAL_SAMPLES", "60"))
+    thin = int(os.environ.get("VAL_THIN", "4000"))
     t0 = time.time()
     run.do_mcmc_steps(burn_in)
     mus, kappas, troots, muts = [], [], [], []
