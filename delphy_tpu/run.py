@@ -230,6 +230,13 @@ class Run:
             # n_cap headroom is deliberately tight — the Pallas kernel's
             # VMEM mask footprint is O(n_cap^2)
             self._n_cap_sticky = _round16(int(1.4 * pm.n_cap) + 16)
+            # snap down onto the Pallas VMEM gate when barely above it: a
+            # few % of headroom is not worth falling off the fused-kernel
+            # path (2.4x slower XLA fallback, measured at 10k tips)
+            import os as _os
+            nc_gate = int(_os.environ.get("DELPHY_TPU_PALLAS_NC_MAX", "1024"))
+            if pm.n_cap <= nc_gate < self._n_cap_sticky <= int(1.1 * nc_gate):
+                self._n_cap_sticky = nc_gate
             self._m_cap_sticky = _round16(2 * pm.m_cap + 16)
         # quantized growth so cap bumps (=> recompiles) are rare
         if pm.n_cap > self._n_cap_sticky:
