@@ -786,6 +786,17 @@ struct BranchInfo {
   SiteSet warm_sites, hot_sites;
   std::vector<Mut> hot_muts_to_X;
   Deltas hot_deltas_to_X;
+
+  void reset() {  // restore defaults, keep inner-vector capacity
+    A = B = NO_NODE;
+    is_open = false;
+    T_to_X = partial_lambda_at_A = partial_lambda_at_X = 0.0;
+    warm_sites.complement = hot_sites.complement = false;
+    warm_sites.s.clear();
+    hot_sites.s.clear();
+    hot_muts_to_X.clear();
+    hot_deltas_to_X.clear();
+  }
 };
 
 struct Graft {
@@ -794,6 +805,30 @@ struct Graft {
   bool rooty = false;
   std::vector<BranchInfo> branch_infos;
   double delta_log_G = 0.0, log_alpha_mut = 0.0;
+  // recycled BranchInfo slots: soft_clear() parks used slots here instead of
+  // destroying them, so their inner vectors keep capacity across moves
+  std::vector<BranchInfo> spare_;
+
+  void soft_clear() {
+    X = S = NO_NODE;
+    t_P = 0.0;
+    rooty = false;
+    delta_log_G = log_alpha_mut = 0.0;
+    while (!branch_infos.empty()) {
+      spare_.push_back(std::move(branch_infos.back()));
+      branch_infos.pop_back();
+    }
+  }
+  BranchInfo& emplace_bi() {
+    if (!spare_.empty()) {
+      branch_infos.push_back(std::move(spare_.back()));
+      spare_.pop_back();
+      branch_infos.back().reset();
+    } else {
+      branch_infos.emplace_back();
+    }
+    return branch_infos.back();
+  }
 };
 
 static void clamp_times(std::vector<Mut>& muts, double t_lo, double t_hi) {
@@ -938,26 +973,26 @@ struct SprContext {
 
   // -- analysis -------------------------------------------------------------
 
-  Graft analyze_graft(int32_t X) {
-    Graft g = start_graft_analysis(X);
+  void analyze_graft(int32_t X, Graft& g) {
+    start_graft_analysis(X, g);
     finish_graft_analysis(g);
-    return g;
   }
 
-  Graft propose_new_graft(int32_t X, Rng& rng) {
-    Graft g = start_graft_analysis(X);
+  void propose_new_graft(int32_t X, Rng& rng, Graft& g) {
+    start_graft_analysis(X, g);
     propose_new_graft_mutations(g, rng);
     finish_graft_analysis(g);
-    return g;
   }
 
-  Graft start_graft_analysis(int32_t X) {
-    if (tree.nodes[X].parent == tree.root) return start_rooty(X);
-    return start_inner(X);
+  void start_graft_analysis(int32_t X, Graft& g) {
+    if (tree.nodes[X].parent == tree.root)
+      start_rooty(X, g);
+    else
+      start_inner(X, g);
   }
 
   // X is a child of the root (graft.py _start_rooty)
-  Graft start_rooty(int32_t X) {
+  void start_rooty(int32_t X, Graft& g) {
     Tree& t = tree;
     int32_t P = t.nodes[X].parent;
     int32_t S = t.sibling(P, X);
@@ -966,9 +1001,9 @@ struct SprContext {
     const Sites& miss_X = t.nodes[X].miss;
     const Sites& miss_S = t.nodes[S].miss;
 
-    Graft g;
+    g.soft_clear();
     g.X = X; g.S = S; g.t_P = t_P; g.rooty = true;
-    g.branch_infos.resize(3);
+    g.emplace_bi(); g.emplace_bi(); g.emplace_bi();
 
     BranchInfo& px = g.branch_infos[0];
     px.A = P; px.B = X; px.is_open = true; px.T_to_X = t_X - t_P;
@@ -1020,42 +1055,43 @@ struct SprContext {
         push_back_d(spx.hot_deltas_to_X, m.site, m.from, m.to);
       }
     }
-    return g;
   }
 
   // inner graft analysis (graft.py _start_inner)
-  Graft start_inner(int32_t X) {
+  void start_inner(int32_t X, Graft& g) {
     Tree& t = tree;
     int32_t P = t.nodes[X].parent;
     int32_t S = t.sibling(P, X);
     double t_X = t.nodes[X].t, t_P = t.nodes[P].t;
 
-    Graft g;
+    g.soft_clear();
     g.X = X; g.S = S; g.t_P = t_P; g.rooty = false;
 
-    BranchInfo px;
-    px.A = P; px.B = X; px.is_open = false; px.T_to_X = t_X - t_P;
-    px.warm_sites.complement = true;  // all sites
-    const Sites& miss_S = t.nodes[S].miss;
-    px.hot_sites = px.warm_sites.minus(miss_S);
+    {
+      BranchInfo& px = g.emplace_bi();
+      px.A = P; px.B = X; px.is_open = false; px.T_to_X = t_X - t_P;
+      px.warm_sites.complement = true;  // all sites
+      const Sites& miss_S0 = t.nodes[S].miss;
+      px.hot_sites = px.warm_sites.minus(miss_S0);
 
+      px.partial_lambda_at_A = lambda_at(X);
+      const auto& xmuts = t.nodes[X].muts;
+      for (auto it = xmuts.rbegin(); it != xmuts.rend(); ++it)
+        px.partial_lambda_at_A +=
+            mu * nu[it->site] * (qa(it->site, it->from) - qa(it->site, it->to));
+    }
+    const Sites& miss_S = t.nodes[S].miss;
     Sites sliding_sites = miss_S;
     FlatMap<int8_t> sliding_from = t.nodes[S].fs;
-    px.partial_lambda_at_A = lambda_at(X);
-    const auto& xmuts = t.nodes[X].muts;
-    for (auto it = xmuts.rbegin(); it != xmuts.rend(); ++it)
-      px.partial_lambda_at_A +=
-          mu * nu[it->site] * (qa(it->site, it->from) - qa(it->site, it->to));
     double next_plB = lam_over_miss(sliding_sites, sliding_from);
-    px.partial_lambda_at_A -= next_plB;
-    g.branch_infos.push_back(std::move(px));
+    g.branch_infos[0].partial_lambda_at_A -= next_plB;
 
     int32_t cur = P;
     int32_t parent = t.nodes[cur].parent;
     double partial_lambda = next_plB;
     while (!sliding_sites.empty()) {
       int32_t sib = t.sibling(parent, cur);
-      BranchInfo bi;
+      BranchInfo& bi = g.emplace_bi();
       bi.A = parent; bi.B = cur; bi.is_open = false;
       bi.T_to_X = t_X - t.nodes[parent].t;
       bi.warm_sites.s = sliding_sites;
@@ -1084,24 +1120,22 @@ struct SprContext {
       next_plB = lam_over_miss(sliding_sites, sliding_from);
       bi.partial_lambda_at_A = partial_lambda - next_plB;
       partial_lambda = next_plB;
-      g.branch_infos.push_back(std::move(bi));
-      BranchInfo& last = g.branch_infos.back();
 
       if (parent != t.root) {
         cur = parent;
         parent = t.nodes[cur].parent;
       } else {
         if (!can_change_root) {
-          last.hot_sites = last.warm_sites;
-          last.partial_lambda_at_A += partial_lambda;
+          // NB: `bi` stays valid here — no emplace since it was created
+          bi.hot_sites = bi.warm_sites;
+          bi.partial_lambda_at_A += partial_lambda;
         } else if (!sliding_sites.empty()) {
-          BranchInfo fo;
+          BranchInfo& fo = g.emplace_bi();  // may invalidate `bi`
           fo.A = NO_NODE; fo.B = t.root; fo.is_open = true;
           fo.T_to_X = t_X - t.nodes[parent].t;
           fo.warm_sites.s = sliding_sites;
           fo.hot_sites = fo.warm_sites;
           fo.partial_lambda_at_A = partial_lambda;
-          g.branch_infos.push_back(std::move(fo));
         }
         sliding_sites.clear();
         sliding_from.clear();
@@ -1134,7 +1168,6 @@ struct SprContext {
             mu * nu[m.site] * (qa(m.site, m.to) - qa(m.site, m.from));
       }
     }
-    return g;
   }
 
   // -- proposal of new graft mutations (graft.py _propose_new_graft_mutations)
@@ -2110,6 +2143,7 @@ struct Mixer {
   Sites scratch_missing_at_X;
   Deltas scratch_deltas_P_to_X;
   std::vector<int32_t> scratch_branches;
+  Graft g_old, g_new;  // reused graft slots (BranchInfo pools persist)
 
   Mixer(Tree& t, Rng& r, SprContext& c, Coal& co, bool ccr, double tmt)
       : tree(t), rng(r), ctx(c), coal(co), can_change_root(ccr),
@@ -2141,10 +2175,12 @@ struct Mixer {
       return;
 
     ctx.begin_move();
-    Graft old_graft = ctx.analyze_graft(X);
+    Graft& old_graft = g_old;
+    ctx.analyze_graft(X, old_graft);
     ctx.peel_graft(old_graft);
     ctx.move(X, SS, new_t_P);
-    Graft new_graft = ctx.propose_new_graft(X, rng);
+    Graft& new_graft = g_new;
+    ctx.propose_new_graft(X, rng, new_graft);
 
     double delta_coal = coal.displace_delta(old_t_P, new_t_P);
     double log_mh = (new_graft.delta_log_G - new_graft.log_alpha_mut) -
@@ -2230,7 +2266,8 @@ struct Mixer {
     int32_t old_S = t.sibling(P, X);
 
     ctx.begin_move();
-    Graft old_graft = ctx.analyze_graft(X);
+    Graft& old_graft = g_old;
+    ctx.analyze_graft(X, old_graft);
     ctx.peel_graft(old_graft);
 
     summarize_closed(old_graft, scratch_deltas_P_to_X);
@@ -2261,7 +2298,8 @@ struct Mixer {
     }
 
     ctx.move(X, new_S, new_t_P);
-    Graft new_graft = ctx.propose_new_graft(X, rng);
+    Graft& new_graft = g_new;
+    ctx.propose_new_graft(X, rng, new_graft);
 
     summarize_closed(new_graft, scratch_deltas_P_to_X);
     study_builder.reset(t, X, t_X, missing_at_X, limit);
