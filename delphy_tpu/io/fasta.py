@@ -110,3 +110,26 @@ def fasta_to_tips(records: list[FastaRecord], ref_seq: np.ndarray,
         tips.append(TipData(name=r.id, t_min=dr[0], t_max=dr[1], deltas=deltas,
                             miss_intervals=_runs_of_true(missing)))
     return tips
+
+
+def write_resolved_fasta(tree, f):
+    """Write every tip's fully resolved sequence (missing sites inherit the
+    state just above their missation, exactly view_of_sequence_at semantics)
+    as FASTA with `name|iso_date` headers (io.cpp:274-287
+    output_resolved_fasta)."""
+    from ..dates import to_iso_date
+    from ..seq import REAL_TO_CHAR
+
+    close = False
+    if isinstance(f, (str, bytes)):
+        f = open(f, "w")
+        close = True
+    try:
+        for i in range(tree.num_tips):
+            name = tree.name[i] if tree.name and tree.name[i] else f"tip{i}"
+            f.write(f">{name}|{to_iso_date(float(tree.t[i]))}\n")
+            f.write("".join(REAL_TO_CHAR[tree.sequence_at(i)]))
+            f.write("\n")
+    finally:
+        if close:
+            f.close()

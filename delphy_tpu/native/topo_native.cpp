@@ -862,6 +862,7 @@ struct SprContext {
   Deltas mv_new_deltas;
   std::vector<Mut> mv_merged;
   std::vector<int32_t> mv_path_up;
+  std::vector<int32_t> mv_gather;
 
   double qa(int32_t l, int a) const { return qatab[part[l] * 4 + a]; }
   double qrate(int32_t l, int a, int b) const {
@@ -1546,18 +1547,34 @@ struct SprContext {
     t.nodes[X].muts.clear();
     double old_t_P = t.nodes[P].t;
 
-    // 2. detach: X inherits every missation at or above its old position
+    // 2. detach: X inherits every missation at or above its old position.
+    // Gather ancestor sites first (deepest ancestor wins on duplicates,
+    // matching the old insert-as-you-go order), then merge once — the old
+    // per-site sorted-insert was O(|miss|^2)
     Sites miss_X = t.nodes[X].miss;
     {
+      std::vector<int32_t>& gather = mv_gather;
+      gather.clear();
       int32_t cur = P;
       while (cur != NO_NODE) {
         for (int32_t l : t.nodes[cur].miss) {
-          if (!sites_contains(miss_X, l)) {
-            sites_insert(miss_X, l);
-            set_from_state(t, X, l, get_from_state(t, cur, l));
-          }
+          if (sites_contains(miss_X, l)) continue;
+          bool dup = false;
+          for (int32_t g : gather)
+            if (g == l) { dup = true; break; }
+          if (dup) continue;
+          gather.push_back(l);
+          set_from_state(t, X, l, get_from_state(t, cur, l));
         }
         cur = t.nodes[cur].parent;
+      }
+      if (!gather.empty()) {
+        std::sort(gather.begin(), gather.end());
+        Sites merged;
+        merged.reserve(miss_X.size() + gather.size());
+        std::set_union(miss_X.begin(), miss_X.end(), gather.begin(),
+                       gather.end(), std::back_inserter(merged));
+        miss_X = std::move(merged);
       }
     }
     t.nodes[X].miss = miss_X;

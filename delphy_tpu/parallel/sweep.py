@@ -419,7 +419,8 @@ def scatter_deltas(pm, num_nodes: int, num_mut_slots: int, dt_p, dmut_p):
 
 def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
                    n_blocks, t_max_tip, hyp, num_cells: int,
-                   k_max: int, reform_batch: int, mesh=None):
+                   k_max: int, reform_batch: int, mesh=None,
+                   allow_pallas: bool = True):
     """One boundary: global moves (replicated) + partitioned local sweep.
     With mesh=None the parts fan out via vmap on one device; with a mesh they
     shard over its ("part",) axis under shard_map with psum reassembly."""
@@ -451,7 +452,7 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
     # the Pallas chain keeps (NC, NC) masks in VMEM: beyond ~1k nodes/part
     # it exceeds the 16 MB scoped-vmem budget, so huge parts take the XLA
     # path (auto_num_partitions keeps parts small to avoid this)
-    use_pallas = (pallas_enabled() and mesh is None
+    use_pallas = (allow_pallas and pallas_enabled() and mesh is None
                   and isinstance(pop_params, popm.ExpPopParams)
                   and t_p.shape[1] <= int(os.environ.get(
                       "DELPHY_TPU_PALLAS_NC_MAX", "1024")))
@@ -521,16 +522,17 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
 
 @partial(jax.jit, static_argnames=("hyp", "num_cells", "n_boundaries",
-                                   "k_max", "reform_batch"))
+                                   "k_max", "reform_batch", "allow_pallas"))
 def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
                            pm, n_blocks, t_max_tip, hyp, num_cells: int,
-                           n_boundaries: int, k_max: int, reform_batch: int):
+                           n_boundaries: int, k_max: int, reform_batch: int,
+                           allow_pallas: bool = True):
     """n_boundaries partitioned super-steps in ONE dispatch (vmap fan-out)."""
     def body(carry, _):
         ts, evo, pop_params, key = carry
         ts, evo, pop_params, key, ledger, stats = _boundary_body(
             ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
-            hyp, num_cells, k_max, reform_batch)
+            hyp, num_cells, k_max, reform_batch, allow_pallas=allow_pallas)
         return (ts, evo, pop_params, key), (ledger, stats)
 
     (ts, evo, pop_params, key), (ledgers, stats_seq) = jax.lax.scan(

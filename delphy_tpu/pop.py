@@ -213,3 +213,17 @@ def intensity_integral(p, a, b):
     if isinstance(p, ExpPopParams):
         return exp_intensity_integral(p, a, b)
     return skygrid_intensity_integral(p, a, b)
+
+
+def render_population_curve(p, t_start: float, t_end: float,
+                            num_t_cells: int):
+    """Cell-averaged N(t) staircase over [t_start, t_end]
+    (pop_model.cpp:562-573 render_population_curve; the WASM surface's
+    pop-curve entry point, api.h:46-52)."""
+    import numpy as np
+    cell = (t_end - t_start) / num_t_cells
+    lo = t_start + cell * np.arange(num_t_cells)
+    import jax
+    vals = jax.vmap(lambda a: pop_integral(p, a, a + cell))(
+        jnp.asarray(lo)) / cell
+    return np.asarray(vals)

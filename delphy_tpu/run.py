@@ -171,6 +171,9 @@ class Run:
         self._host_tree = tree          # topology/t synced at repartition
         self._n_cap_sticky = 0
         self._m_cap_sticky = 0
+        # flipped off permanently if the fused Pallas kernel's compile
+        # exceeds scoped VMEM for this problem's shapes (falls back to XLA)
+        self._allow_pallas = True
         self.pm = None
         self._boundaries_since_repart = 0
         self._repartition()
@@ -309,16 +312,36 @@ class Run:
             # data-dependent); n_blocks is a traced arg — no recompiles
             from .parallel.sweep import pallas_enabled, PALLAS_NB_MAX
             from . import pop as _popm
-            use_pallas = (pallas_enabled()
+            use_pallas = (self._allow_pallas and pallas_enabled()
                           and isinstance(self.pop, _popm.ExpPopParams))
             nb_cap = PALLAS_NB_MAX if use_pallas else 512
             n_blocks = max(1, min(nb_cap,
                                   round(per_boundary / self._per_block_rate)))
-            (self.ts, self.evo, self.pop, self.key, self.ledger,
-             self.last_stats, self._fused_bundle) = parts_multi_super_step(
-                self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
-                self.pm, n_blocks, self.t_max_tip, self.hyp, self.num_cells,
-                boundaries, self._sweep_k_max, self._sweep_reform_batch)
+            try:
+                (self.ts, self.evo, self.pop, self.key, self.ledger,
+                 self.last_stats, self._fused_bundle) = parts_multi_super_step(
+                    self.ts, self.evo, self.pop, self.key, self.tin,
+                    self.tout, self.pm, n_blocks, self.t_max_tip, self.hyp,
+                    self.num_cells, boundaries, self._sweep_k_max,
+                    self._sweep_reform_batch,
+                    allow_pallas=self._allow_pallas)
+            except Exception as e:  # Pallas VMEM overflow: fall back to XLA
+                msg = str(e)
+                if not (self._allow_pallas
+                        and ("vmem" in msg or "Mosaic" in msg
+                             or "pallas" in msg.lower())):
+                    raise
+                import sys as _sys
+                print("delphy_tpu: Pallas sweep kernel exceeded VMEM for "
+                      "this shape; falling back to the XLA sweep path",
+                      file=_sys.stderr, flush=True)
+                self._allow_pallas = False
+                (self.ts, self.evo, self.pop, self.key, self.ledger,
+                 self.last_stats, self._fused_bundle) = parts_multi_super_step(
+                    self.ts, self.evo, self.pop, self.key, self.tin,
+                    self.tout, self.pm, n_blocks, self.t_max_tip, self.hyp,
+                    self.num_cells, boundaries, self._sweep_k_max,
+                    self._sweep_reform_batch, allow_pallas=False)
             self._inflight.append((self.last_stats["local_moves_attempted"],
                                    boundaries, n_blocks))
             # opportunistic non-blocking drain; cap the in-flight queue so the

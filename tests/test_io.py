@@ -227,3 +227,31 @@ def test_beast_x_xml_export(tmp_path):
             assert "skygrid" in ids
         else:
             assert "exponential" in ids
+
+def test_write_resolved_fasta(tmp_path):
+    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.phylo import build_greedy_tree
+    from delphy_tpu.io.fasta import write_resolved_fasta, read_fasta
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        6, 80, mu=4e-3, missing_fraction=0.1, seed=3)
+    tree = build_greedy_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(3))
+    out = tmp_path / "resolved.fasta"
+    write_resolved_fasta(tree, str(out))
+    recs = read_fasta(str(out))
+    assert len(recs) == tree.num_tips
+    for i, r in enumerate(recs):
+        assert r.id.startswith(tree.name[i])
+        # resolved output is unambiguous ACGT: 4-bit mask = 1 << real_letter
+        seq = "".join("ACGT"[int(np.log2(b))] for b in r.bits)
+        assert len(seq) == 80
+        # non-missing sites must match the tip's real data
+        missing = set()
+        for (s, e) in tree.miss_intervals[i]:
+            missing.update(range(s, e))
+        want = dict(deltas[i])
+        for l in range(80):
+            if l in missing:
+                continue
+            expect = "ACGT"[want.get(l, int(ref[l]))]
+            assert seq[l] == expect, (i, l)

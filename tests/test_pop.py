@@ -81,3 +81,18 @@ def test_skygrid_degenerate_equal_gammas():
         p = pop.SkygridPopParams(x=x, gamma=gamma, type=type_)
         np.testing.assert_allclose(float(pop.skygrid_pop_integral(p, 0.0, 10.0)),
                                    10.0 * np.exp(2.0), rtol=1e-10)
+
+def test_render_population_curve():
+    from delphy_tpu.pop import (ExpPopParams, render_population_curve,
+                                exp_pop_at_time)
+    import jax.numpy as jnp
+    p = ExpPopParams(t0=jnp.float64(0.0), n0=jnp.float64(100.0),
+                     g=jnp.float64(0.01), min_pop=jnp.float64(1e-3))
+    curve = render_population_curve(p, -100.0, 0.0, 20)
+    assert curve.shape == (20,)
+    # cell averages of a growing population are increasing and bracket N(t)
+    assert (np.diff(curve) > 0).all()
+    assert curve[-1] <= 100.0 + 1e-6
+    # midpoint value is close to the cell average for smooth N
+    mid = float(exp_pop_at_time(p, -2.5))
+    np.testing.assert_allclose(curve[-1], mid, rtol=0.01)
