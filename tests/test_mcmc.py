@@ -98,3 +98,22 @@ def test_posterior_moves_toward_data():
     lp0 = run.log_posterior
     run.do_mcmc_steps(8000)
     assert run.log_posterior > lp0
+
+
+def test_dispatch_move_cap(monkeypatch):
+    """DELPHY_TPU_MAX_DISPATCH_MOVES bounds boundaries-per-dispatch without
+    changing the chain's semantics (one dispatch = fewer boundaries, same
+    total move count and green ledger)."""
+    import numpy as np
+    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.phylo import build_random_tree
+    from delphy_tpu.run import Run
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        10, 120, mu=3e-3, missing_fraction=0.05, seed=17)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(17))
+    monkeypatch.setenv("DELPHY_TPU_MAX_DISPATCH_MOVES", "400")
+    run = Run(tree, seed=17, num_cells=64, local_moves_per_global_move=400)
+    run.do_mcmc_steps(4000)  # cap forces 1-boundary dispatches
+    run.check_derived_quantities(tol=1e-6)
+    assert run.step == 4000
