@@ -403,6 +403,7 @@ struct Builder {
     int32_t olda = edges[e].a;
     edges[e].a = U; edges[e].b = M;
     edges[e].d.clear();
+    dcount -= (int64_t)old_d.size();
     add_node_edge(M, e);
     for (const auto& dl : old_d) {
       int8_t su = (olda == U) ? dl.sa : dl.sb;
@@ -410,8 +411,8 @@ struct Builder {
       int8_t x = x_state(dl.site);
       bool xm = x_missing(dl.site);
       int8_t m = (!xm && (x == su || x == sv)) ? x : su;
-      if (su != m) edges[e].d.push_back({dl.site, su, m});
-      if (m != sv) edges[e_mv].d.push_back({dl.site, m, sv});
+      if (su != m) { edges[e].d.push_back({dl.site, su, m}); dcount++; }
+      if (m != sv) { edges[e_mv].d.push_back({dl.site, m, sv}); dcount++; }
     }
     toward_focus[M] = e;       // M routes to U (= focus)
     toward_focus[V] = e_mv;    // V now routes via M
@@ -443,7 +444,7 @@ struct Builder {
       if (x_missing(s)) continue;
       int8_t m = m_state(s);
       int8_t x = x_state(s);
-      if (m != x) edges[e_mx].d.push_back({s, m, x});
+      if (m != x) { edges[e_mx].d.push_back({s, m, x}); dcount++; }
     }
     toward_focus[X] = e_mx;    // X routes via M (M routes to focus)
   }
@@ -477,7 +478,7 @@ struct Builder {
     for (int32_t s : sites) {
       if (t1.missing(s)) continue;
       int8_t f = f_state(s), x = x_state(s);
-      if (f != x) edges[e].d.push_back({s, f, x});
+      if (f != x) { edges[e].d.push_back({s, f, x}); dcount++; }
     }
     toward_focus[X1] = e;
   }
@@ -571,16 +572,21 @@ struct Builder {
       else it->second.second = sq;
     }
     edges[e1].a = P; edges[e1].b = Q;
+    dcount -= (int64_t)edges[e1].d.size() + (int64_t)edges[e2].d.size()
+              + (int64_t)edges[e_mx].d.size();  // e2/e_mx die below
     edges[e1].d.clear();
     for (const auto& [s, pq_] : comp)
-      if (pq_.first != pq_.second)
+      if (pq_.first != pq_.second) {
         edges[e1].d.push_back({s, pq_.first, pq_.second});
+        dcount++;
+      }
     std::sort(edges[e1].d.begin(), edges[e1].d.end(),
               [](const Delta& x, const Delta& y) { return x.site < y.site; });
     // tip-adjacency invariant: strip deltas at sites missing at tip P or Q
     auto strip = [&](int32_t n) {
       if (n >= T) return;
       auto& dv = edges[e1].d;
+      auto old_n = (int64_t)dv.size();
       dv.erase(std::remove_if(dv.begin(), dv.end(), [&](const Delta& dl) {
         if (!tips[n].missing(dl.site)) return false;
         if (n == focus) {
@@ -591,6 +597,7 @@ struct Builder {
         }
         return true;
       }), dv.end());
+      dcount -= old_n - (int64_t)dv.size();
     };
     strip(P); strip(Q);
     // unlink M and X and the dead edges (e2 dies: remove it from BOTH
@@ -612,12 +619,26 @@ struct Builder {
   }
 
   bool debug_check = false;
+  // incrementally-maintained Sum |edges[e].d| over ALIVE edges: the
+  // spr_refine improvement test needs it every attempt and the full
+  // count_deltas() scan was 58% of the whole init at 10k tips
+  int64_t dcount = 0;
 
   void spr_refine(int max_attempts, int patience) {
     if (T <= 3) return;
     debug_check = std::getenv("DELPHY_TPU_INIT_CHECK") != nullptr;
+    const bool prof = std::getenv("DELPHY_TPU_INIT_PROF") != nullptr;
+    double t_detach = 0, t_restart = 0, t_search = 0, t_attach = 0,
+           t_count = 0;
+    int64_t n_att = 0;
+    auto now_s = [] {
+      return std::chrono::duration<double>(
+                 std::chrono::steady_clock::now().time_since_epoch())
+          .count();
+    };
     int non_improve = 0;
     int64_t cur = count_deltas();
+    dcount = cur;
     for (int att = 0; att < max_attempts && non_improve < patience; att++) {
       int32_t X = (int32_t)(rng() % T);   // tip SPR only here
       if (degree(X) != 1) continue;
@@ -626,25 +647,43 @@ struct Builder {
         if (node_edges[X][k] != NO_EDGE) e_mx = node_edges[X][k];
       int32_t M = edges[e_mx].other(X);
       if (degree(M) != 3) continue;       // safety (root-ish degenerate)
+      n_att++;
+      double t0 = prof ? now_s() : 0;
       int32_t Mfree = detach_tip(X);
       if (debug_check) check_routing("after detach");
       init_x_tip(X);
       recompute_mm();
+      if (prof) { double t1 = now_s(); t_detach += t1 - t0; t0 = t1; }
       // random restart point spreads the search (utree.cpp spr_refine)
       int32_t S;
       do { S = (int32_t)(rng() % next_inner); } while (S == X || degree(S) == 0);
       g_where = "refine_restart";
       move_focus_to(S);
       recompute_mm();
+      if (prof) { double t1 = now_s(); t_restart += t1 - t0; t0 = t1; }
       auto [e_best, cost] = find_best_edge();
       (void)cost;
       if (debug_check) check_routing("after search");
+      if (prof) { double t1 = now_s(); t_search += t1 - t0; t0 = t1; }
       attach_x_at(e_best, Mfree, X);
       if (debug_check) check_routing("after attach");
-      int64_t now = count_deltas();
+      if (prof) { double t1 = now_s(); t_attach += t1 - t0; t0 = t1; }
+      int64_t now = dcount;
+      if (debug_check && now != count_deltas()) {
+        std::fprintf(stderr, "[init_native] dcount DRIFT: %lld != %lld\n",
+                     (long long)now, (long long)count_deltas());
+        std::abort();
+      }
+      if (prof) { double t1 = now_s(); t_count += t1 - t0; t0 = t1; }
       if (now < cur) { cur = now; non_improve = 0; }
       else non_improve++;
     }
+    if (prof)
+      std::fprintf(stderr,
+                   "[init_native] spr_refine prof: att=%lld detach=%.1fs "
+                   "restart=%.1fs search=%.1fs attach=%.1fs count=%.1fs\n",
+                   (long long)n_att, t_detach, t_restart, t_search, t_attach,
+                   t_count);
   }
 };
 
