@@ -335,11 +335,22 @@ struct Builder {
   // Best-first search for the cheapest insertion edge, starting from the
   // current focus (utree.cpp:421-482).  Returns (edge, cost); NO_EDGE if the
   // tree has no edges yet.
-  std::pair<int32_t, int> find_best_edge() {
+  int64_t fbe_pops = 0, fbe_calls = 0;  // search-size telemetry (PROF)
+
+  // seed_edge/seed_cost: a known attachment candidate (the rollback
+  // position, as in the reference's spr_refine: utree.cpp:986-996) that
+  // tightens the pruning radius from the first expansion
+  std::pair<int32_t, int> find_best_edge(int32_t seed_edge = NO_EDGE,
+                                         int seed_cost = INT32_MAX) {
+    fbe_calls++;
     track_mm = true;
     int best_cost = mm;
     static thread_local std::vector<int32_t> best_edges;
     best_edges.clear();
+    if (seed_edge != NO_EDGE && seed_cost <= best_cost) {
+      best_cost = seed_cost;
+      best_edges.push_back(seed_edge);
+    }
     using QE = std::pair<int, int32_t>;
     std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
 
@@ -358,6 +369,7 @@ struct Builder {
     while (!pq.empty()) {
       auto [prio, e_in] = pq.top();
       pq.pop();
+      fbe_pops++;
       if (prio > best_cost + pruning_threshold(best_cost)) break;
       // the popped edge may no longer be focal; route focus to its far end
       int32_t far = edges[e_in].other(
@@ -615,8 +627,10 @@ struct Builder {
     if (toward_focus[Q] == e2 || toward_focus[Q] == e_mx) toward_focus[Q] = e1;
     toward_focus[M] = NO_EDGE;
     toward_focus[X] = NO_EDGE;
+    last_merged_edge = e1;
     return M;  // the freed inner node, reused on reattach
   }
+  int32_t last_merged_edge = NO_EDGE;
 
   bool debug_check = false;
   // incrementally-maintained Sum |edges[e].d| over ALIVE edges: the
@@ -654,6 +668,14 @@ struct Builder {
       init_x_tip(X);
       recompute_mm();
       if (prof) { double t1 = now_s(); t_detach += t1 - t0; t0 = t1; }
+      // rollback seed: evaluate re-attaching at the merged P-Q edge (the
+      // old position) first; it bounds the search radius from the start
+      // (utree.cpp:986-996)
+      int32_t e_rb = last_merged_edge;
+      g_where = "rollback_eval";
+      move_focus_to(edges[e_rb].a);
+      recompute_mm();
+      int rb_cost = eval_focal_edge(edges[e_rb]);
       // random restart point spreads the search (utree.cpp spr_refine)
       int32_t S;
       do { S = (int32_t)(rng() % next_inner); } while (S == X || degree(S) == 0);
@@ -661,7 +683,7 @@ struct Builder {
       move_focus_to(S);
       recompute_mm();
       if (prof) { double t1 = now_s(); t_restart += t1 - t0; t0 = t1; }
-      auto [e_best, cost] = find_best_edge();
+      auto [e_best, cost] = find_best_edge(e_rb, rb_cost);
       (void)cost;
       if (debug_check) check_routing("after search");
       if (prof) { double t1 = now_s(); t_search += t1 - t0; t0 = t1; }
@@ -681,9 +703,11 @@ struct Builder {
     if (prof)
       std::fprintf(stderr,
                    "[init_native] spr_refine prof: att=%lld detach=%.1fs "
-                   "restart=%.1fs search=%.1fs attach=%.1fs count=%.1fs\n",
+                   "restart=%.1fs search=%.1fs attach=%.1fs count=%.1fs "
+                   "pops/search=%.0f\n",
                    (long long)n_att, t_detach, t_restart, t_search, t_attach,
-                   t_count);
+                   t_count,
+                   fbe_calls ? (double)fbe_pops / (double)fbe_calls : 0.0);
   }
 };
 
