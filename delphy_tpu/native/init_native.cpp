@@ -19,9 +19,10 @@
 //  - nearest-first re-insertion order comes from a multi-source Dijkstra
 //    over the guide tree's delta metric (equivalent to the reference's
 //    3-pass arc annotation + heap walk, utree.cpp:761-895);
-//  - spr_refine detaches random tips OR internal subtrees and re-places
-//    them with the same searcher (subtree state = exact resolved state at
-//    its root; the reference additionally tracks Fitch sets);
+//  - spr_refine detaches random tips and re-places them with the same
+//    searcher, seeding the pruning bound with the rollback (old-position)
+//    cost as the reference does (utree.cpp:986-996); the reference
+//    additionally refines internal subtrees and tracks Fitch sets;
 //  - rooting scans every edge midpoint maximizing root-to-tip regression
 //    R^2 via an O(N) rerooting DP over (count, sum_d, sum_d^2, sum_t,
 //    sum_dt) sufficient statistics (the reference's bottom-up + top-down
