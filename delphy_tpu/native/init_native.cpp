@@ -223,7 +223,7 @@ struct Builder {
 
   // ---- debug invariant (env DELPHY_TPU_INIT_CHECK) -------------------------
 
-  void check_routing(const char* where) {
+  void check_routing(const char* where, int32_t detached_sink = NO_NODE) {
     // structural symmetry: alive edges appear exactly once in both endpoint
     // lists; node-list entries reference alive edges with that endpoint
     for (int32_t e = 0; e < (int32_t)edges.size(); e++) {
@@ -256,12 +256,14 @@ struct Builder {
       }
     }
     // every connected node's toward_focus chain must reach focus without
-    // dead edges or cycles
+    // dead edges or cycles (nodes in a detached subtree component may
+    // instead terminate at that component's root)
     for (int32_t n = 0; n < next_inner; n++) {
       if (degree(n) == 0 || n == focus) continue;
       int32_t cur = n;
       int steps = 0;
       while (cur != focus) {
+        if (cur == detached_sink && toward_focus[cur] == NO_EDGE) break;
         int32_t e = toward_focus[cur];
         if (e == NO_EDGE || !edges[e].alive ||
             (edges[e].a != cur && edges[e].b != cur) ||
@@ -283,6 +285,27 @@ struct Builder {
     x_is_tip = true;
     xt = &tips[X];
     recompute_mm();
+  }
+
+  // Snapshot the resolved state at internal node X (vs ref) as the
+  // placement state for a subtree SPR: with explicit per-edge states, the
+  // state at X is exactly the focus diff when the focus sits at X.
+  void init_x_subtree(int32_t X) {
+    g_where = "subtree_snapshot";
+    move_focus_to(X);
+    xdiff = fdiff;
+    x_is_tip = false;
+    xt = nullptr;
+  }
+
+  // Follow toward_focus routing from n to its local sink (== focus when n
+  // is in the focus's component; == the detached subtree root otherwise).
+  int32_t local_sink(int32_t n) const {
+    while (true) {
+      int32_t e = toward_focus[n];
+      if (e == NO_EDGE || !edges[e].alive) return n;
+      n = edges[e].other(n);
+    }
   }
 
   void recompute_mm() {
@@ -562,6 +585,14 @@ struct Builder {
     int32_t e_mx = node_edges[X][0];
     for (int k = 1; k < 3; k++)
       if (node_edges[X][k] != NO_EDGE) e_mx = node_edges[X][k];
+    return detach_via(X, e_mx);
+  }
+
+  // Detach X's side of edge e_mx (X a tip or an internal subtree root):
+  // remove M = the far endpoint, merging M's other two edges into one.
+  // Pre: the focus is NOT in X's component (for internal X, the caller must
+  // move it to the M side first).  Returns the freed inner node M.
+  int32_t detach_via(int32_t X, int32_t e_mx) {
     int32_t M = edges[e_mx].other(X);
     // move focus off the doomed region
     int32_t e1 = NO_EDGE, e2 = NO_EDGE;
@@ -655,18 +686,31 @@ struct Builder {
     int64_t cur = count_deltas();
     dcount = cur;
     for (int att = 0; att < max_attempts && non_improve < patience; att++) {
-      int32_t X = (int32_t)(rng() % T);   // tip SPR only here
-      if (degree(X) != 1) continue;
-      int32_t e_mx = NO_EDGE;
-      for (int k = 0; k < 3; k++)
-        if (node_edges[X][k] != NO_EDGE) e_mx = node_edges[X][k];
-      int32_t M = edges[e_mx].other(X);
-      if (degree(M) != 3) continue;       // safety (root-ish degenerate)
+      // reference pick (utree.cpp:935-943): random degree-3 node M, random
+      // incident edge -> X, which is a tip (tip SPR) or internal (subtree
+      // SPR)
+      int32_t M = (int32_t)(rng() % next_inner);
+      if (degree(M) != 3) continue;
+      int32_t e_mx = node_edges[M][rng() % 3];
+      if (e_mx == NO_EDGE) continue;
+      int32_t X = edges[e_mx].other(M);
+      bool tip_case = X < T;
+      if (!tip_case && degree(X) != 3) continue;
       n_att++;
       double t0 = prof ? now_s() : 0;
-      int32_t Mfree = detach_tip(X);
-      if (debug_check) check_routing("after detach");
-      init_x_tip(X);
+      if (tip_case) {
+        // leave placement init to after the detach (tip data is static)
+      } else {
+        init_x_subtree(X);       // snapshot state at X (focus moves to X)
+        move_focus_to(M);        // escape X's component before the cut
+      }
+      int64_t dc_before = dcount;
+      int32_t Mfree = detach_via(X, e_mx);
+      // deltas freed by the detach: the reference's old_cost
+      // (utree.cpp:985, 1056)
+      int rb_old_cost = (int)(dc_before - dcount);
+      if (debug_check) check_routing("after detach", tip_case ? NO_NODE : X);
+      if (tip_case) init_x_tip(X);
       recompute_mm();
       if (prof) { double t1 = now_s(); t_detach += t1 - t0; t0 = t1; }
       // rollback seed: evaluate re-attaching at the merged P-Q edge (the
@@ -677,16 +721,36 @@ struct Builder {
       move_focus_to(edges[e_rb].a);
       recompute_mm();
       int rb_cost = eval_focal_edge(edges[e_rb]);
-      // random restart point spreads the search (utree.cpp spr_refine)
-      int32_t S;
-      do { S = (int32_t)(rng() % next_inner); } while (S == X || degree(S) == 0);
-      g_where = "refine_restart";
-      move_focus_to(S);
-      recompute_mm();
-      if (prof) { double t1 = now_s(); t_restart += t1 - t0; t0 = t1; }
-      auto [e_best, cost] = find_best_edge(e_rb, rb_cost);
+      int32_t e_best = e_rb;
+      int cost = rb_cost;
+      // the reference searches only when the rollback is not already an
+      // improvement (utree.cpp:1063-1068)
+      if (rb_cost >= rb_old_cost) {
+        // random restart point spreads the search (utree.cpp spr_refine);
+        // for a subtree SPR the restart must land in the focus's component
+        // — bounded rejection sampling, since the detached side can hold
+        // nearly all nodes (then the component is tiny and the current
+        // focus is as good a start as any)
+        int32_t S = focus;
+        for (int tries = 0; tries < 32; tries++) {
+          int32_t c = (int32_t)(rng() % next_inner);
+          if (c != X && degree(c) != 0 && local_sink(c) == focus) {
+            S = c;
+            break;
+          }
+        }
+        g_where = "refine_restart";
+        move_focus_to(S);
+        recompute_mm();
+        if (prof) { double t1 = now_s(); t_restart += t1 - t0; t0 = t1; }
+        auto found = find_best_edge(e_rb, rb_cost);
+        e_best = found.first;
+        cost = found.second;
+      } else if (prof) {
+        double t1 = now_s(); t_restart += t1 - t0; t0 = t1;
+      }
       (void)cost;
-      if (debug_check) check_routing("after search");
+      if (debug_check) check_routing("after search", tip_case ? NO_NODE : X);
       if (prof) { double t1 = now_s(); t_search += t1 - t0; t0 = t1; }
       attach_x_at(e_best, Mfree, X);
       if (debug_check) check_routing("after attach");
