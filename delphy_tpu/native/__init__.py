@@ -98,12 +98,29 @@ def _load():
             i64p, i32p, i8p, ctypes.c_int64,
             f64p,
         ]
+        # incomplete-gamma test exports (safe_gamma_math analogue)
+        lib.delphy_gamma_q.restype = ctypes.c_double
+        lib.delphy_gamma_q.argtypes = [ctypes.c_double, ctypes.c_double]
+        lib.delphy_gamma_q_inv.restype = ctypes.c_double
+        lib.delphy_gamma_q_inv.argtypes = [ctypes.c_double, ctypes.c_double]
         _LIB = lib
         return _LIB
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def native_gamma_q(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a,x) from the native kernel
+    (test surface; core/safe_gamma_math.h:19-44 analogue)."""
+    lib = _load()
+    return float(lib.delphy_gamma_q(a, x))
+
+
+def native_gamma_q_inv(a: float, q: float) -> float:
+    lib = _load()
+    return float(lib.delphy_gamma_q_inv(a, q))
 
 
 def _tree_to_csr(tree):

@@ -2379,6 +2379,15 @@ struct Mixer {
 // output capacity is too small, -1 on any internal error (caller falls back
 // to the Python mixer; input arrays are never modified).
 
+// Direct test exports for the incomplete-gamma kernels (the reference
+// unit-tests its safe_gamma_math the same way, tests/safe_gamma_math_tests.cpp)
+extern "C" double delphy_gamma_q(double a, double x) {
+  return gamma_Q(a, x);
+}
+extern "C" double delphy_gamma_q_inv(double a, double q) {
+  return gamma_Qinv(a, q);
+}
+
 extern "C" int32_t delphy_run_topo_burst(
     // tree in
     int32_t N, int32_t num_tips, int32_t L, int32_t root,

@@ -152,3 +152,34 @@ def test_wilson_balding_ledger_and_integrity():
     np.testing.assert_allclose(lg1 - lg0, mixer.delta_log_G,
                                rtol=1e-9, atol=1e-9)
     assert mixer.n_accepted > 0, "WB should accept at least one move in 400"
+
+
+def test_native_incomplete_gamma_vs_scipy():
+    """The native kernel's gamma_Q / gamma_Qinv against scipy (the
+    reference's safe_gamma_math discipline, tests/safe_gamma_math_tests.cpp:
+    double-only policies, round-trip inversion)."""
+    import pytest
+    from delphy_tpu.native import (native_available, native_gamma_q,
+                                   native_gamma_q_inv)
+    if not native_available():
+        pytest.skip("no native toolchain")
+    from scipy.special import gammaincc, gammainccinv
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        a = float(10.0 ** rng.uniform(-2, 2))
+        x = float(10.0 ** rng.uniform(-3, 2.5))
+        want = float(gammaincc(a, x))
+        got = native_gamma_q(a, x)
+        assert abs(got - want) < 1e-9 + 1e-9 * abs(want), (a, x, got, want)
+        # inverse: judged by the forward round-trip (in deep tails Q is
+        # nearly flat in x, so x-space agreement with scipy is ill-posed)
+        q = float(np.clip(want, 1e-12, 1 - 1e-12))
+        x_back = native_gamma_q_inv(a, q)
+        q_back = native_gamma_q(a, x_back)
+        assert abs(q_back - q) <= 1e-8 + 1e-8 * q, (a, q, x_back, q_back)
+        # and in the bulk it matches scipy's inverse directly
+        if 1e-6 < q < 1 - 1e-6:
+            want_back = float(gammainccinv(a, q))
+            assert abs(x_back - want_back) <= 1e-6 * max(1.0, abs(want_back)), \
+                (a, q, x_back, want_back)
