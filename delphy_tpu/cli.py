@@ -27,7 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-in-maple", metavar="FILE")
     a("--v0-steps", type=int, default=-1, help="default: 100,000 per tip")
     a("--v0-seed", type=int, default=0)
-    a("--v0-threads", type=int, default=1, help="accepted for compatibility (device mesh governs parallelism)")
+    a("--v0-threads", type=int, default=0,
+      help="host threads for topology bursts (0 = all cores, the reference "
+           "default); device parallelism is governed by the mesh")
     a("--v0-paranoid", action="store_true")
     a("--v0-out-log-file", metavar="FILE")
     a("--v0-log-every", type=int, default=-1)
@@ -417,6 +419,12 @@ def _main(args) -> int:
         **hyp_kwargs)
 
     from delphy_tpu import pop as popm
+    # --v0-threads governs host-side topology-burst parallelism, the
+    # analogue of the reference's ctpl pool sizing (cmdline.cpp:408-418:
+    # partitions default to thread count; more parts than workers improves
+    # pool balance, hence 2x)
+    if args.v0_threads and args.v0_threads > 0:
+        run_kwargs.setdefault("topology_partitions", 2 * args.v0_threads)
     run = Run(tree, seed=args.v0_seed, hyp=hyp,
               mpox_hack=args.v0_mpox_hack,
               num_cells=max(64, args.v0_target_coal_prior_cells),
