@@ -77,3 +77,31 @@ def test_partitioned_burst_log_coal_fresh():
     # allow quadrature placement differences, but catch O(move-delta)
     # staleness
     assert abs(got - want) < 0.02 * abs(want) + 0.5, (got, want)
+
+def test_burst_amortization_statistics():
+    """Amortized topology bursts (debt paid every K boundaries) must sample
+    the same posterior as tight per-boundary bursts: compare topology
+    acceptance fraction and posterior log_post mean on a small problem
+    (VERDICT r1 weak #6 — cadence coupling)."""
+    def sample(K):
+        run, _ = make_run(seed=37, T=16, L=250, lmpgm=300)
+        run.topology_burst_chunks = K
+        lps = []
+        run.do_mcmc_steps(2000)
+        for _ in range(25):
+            run.do_mcmc_steps(600)
+            lps.append(run.log_posterior)
+        acc = run.topology_accepted / max(1, run.topology_proposed)
+        return np.asarray(lps), acc
+
+    lps_tight, acc_tight = sample(K=1)
+    lps_amort, acc_amort = sample(K=8)
+    assert 0.05 < acc_tight < 0.95 and 0.05 < acc_amort < 0.95
+    # acceptance fractions agree within a loose band (same move machinery,
+    # different interleaving)
+    assert abs(acc_tight - acc_amort) < 0.25, (acc_tight, acc_amort)
+    # posterior locations agree within joint MC error x5 (short chains)
+    se = np.hypot(lps_tight.std() / np.sqrt(len(lps_tight)),
+                  lps_amort.std() / np.sqrt(len(lps_amort)))
+    assert abs(lps_tight.mean() - lps_amort.mean()) < 5.0 * se + 20.0, \
+        (lps_tight.mean(), lps_amort.mean(), se)
