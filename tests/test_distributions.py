@@ -183,3 +183,90 @@ def test_native_incomplete_gamma_vs_scipy():
             want_back = float(gammainccinv(a, q))
             assert abs(x_back - want_back) <= 1e-6 * max(1.0, abs(want_back)), \
                 (a, q, x_back, want_back)
+
+
+def test_jit_history_matches_host():
+    """The jitted constrained-history sampler (ops/history.py) must produce
+    the same (event count, path, time) distribution as the host sampler
+    (topo/history.py; reference spr_move.cpp:1164-1370)."""
+    import jax
+    import jax.numpy as jnp
+    from delphy_tpu.ops import history as jh
+    from delphy_tpu.topo.history import sample_mutational_history
+
+    T_dur, mu = 0.8, 1.3          # mu*T ~ 1: nontrivial k distribution
+    frm, to = 0, 2
+    B = 30_000
+
+    # device samples
+    key = jax.random.PRNGKey(3)
+    ks, states, times = jh.sample_constrained_histories(
+        key, jnp.zeros(B, jnp.int32) + frm, jnp.zeros(B, jnp.int32) + to,
+        jnp.float64(T_dur), jnp.float64(mu))
+    ks = np.asarray(ks)
+    states = np.asarray(states)
+    times = np.asarray(times)
+
+    # host samples (single-site deltas)
+    rng = np.random.default_rng(11)
+    host_ks, host_first, host_t1 = [], [], []
+    for _ in range(B // 3):
+        muts = sample_mutational_history(rng, 1, T_dur, mu, {0: (frm, to)})
+        host_ks.append(len(muts))
+        host_first.append(muts[0].to)
+        host_t1.append(muts[0].t)
+
+    # event-count distribution agreement (chi-square-ish: max abs freq diff)
+    for k in (1, 2, 3, 4):
+        f_dev = float(np.mean(ks == k))
+        f_host = float(np.mean(np.asarray(host_ks) == k))
+        assert abs(f_dev - f_host) < 0.02, (k, f_dev, f_host)
+    # first-jump state distribution
+    for s in range(4):
+        f_dev = float(np.mean(states[:, 0] == s))
+        f_host = float(np.mean(np.asarray(host_first) == s))
+        assert abs(f_dev - f_host) < 0.02, (s, f_dev, f_host)
+    # first event time distribution: mean and spread (order statistics of
+    # uniforms given k, marginalized over the same k distribution)
+    assert abs(times[:, 0].mean() - np.mean(host_t1)) < 0.02
+    assert abs(times[:, 0].std() - np.std(host_t1)) < 0.02
+    # endpoint constraint holds everywhere
+    last = states[np.arange(B), ks - 1]
+    assert (last == to).all()
+    # k >= 1 (min_k) and times sorted within the mask
+    assert (ks >= 1).all()
+    for i in range(0, B, 2500):
+        tt = times[i, :ks[i]]
+        assert (np.diff(tt) >= 0).all() and (tt <= 0).all() and (tt >= -T_dur).all()
+
+
+def test_jit_roundtrip_mask_rate_matches_host_skip():
+    """The per-site Bernoulli round-trip mask has the same hit rate as the
+    host's geometric skip (they sample the same product measure)."""
+    import jax
+    import jax.numpy as jnp
+    from delphy_tpu.ops import history as jh
+    from delphy_tpu.topo.history import sample_mutational_history
+
+    T_dur, mu, L = 0.9, 0.8, 400
+    key = jax.random.PRNGKey(5)
+    hits = []
+    for i in range(60):
+        m = jh.sample_roundtrip_mask(jax.random.fold_in(key, i),
+                                     L, jnp.float64(T_dur), jnp.float64(mu))
+        hits.append(float(np.mean(np.asarray(m))))
+    dev_rate = float(np.mean(hits))
+
+    rng = np.random.default_rng(17)
+    host_hits = 0
+    reps = 300
+    for _ in range(reps):
+        muts = sample_mutational_history(rng, L, T_dur, mu, {})
+        host_hits += len({m.site for m in muts})
+    host_rate = host_hits / (reps * L)
+    # the host's skip samples candidate sites at the tricky rate and then
+    # ACCEPTS only round trips ending at the start state; the device mask is
+    # the candidate rate, so host_rate <= dev_rate, within the acceptance
+    # fraction for k>=2 paths returning to start (~1/3 for small mu*T)
+    assert 0.15 * dev_rate < host_rate <= dev_rate * 1.05, \
+        (dev_rate, host_rate)
