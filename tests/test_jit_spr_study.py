@@ -1,0 +1,76 @@
+"""Jit bounded SPR-study (ops/spr_study.py) vs the host DFS builder.
+
+The host SprStudyBuilder with max_muts_from_start=1 is the oracle (it is
+itself validated against likelihood oracles and the native C++ twin); the
+jit 0-1-BFS must enumerate exactly the same region set with the same
+min_muts and time bounds, including missing-at-X sites (uncounted,
+uncomposed crossings), the detachment accounting, and the t_X trim."""
+
+import numpy as np
+import pytest
+
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_random_tree, NO_NODE
+from delphy_tpu.topo.study import SprStudyBuilder
+from delphy_tpu.ops.spr_study import bounded_spr_study, pack_study_tree
+
+
+def _key(r):
+    return (r.branch, r.mut_idx, round(r.t_min, 12), round(r.t_max, 12),
+            r.min_muts)
+
+
+def _host_regions(tree, X, t_X, missing, seed_b, seed_i, d0, ccr):
+    b = SprStudyBuilder(tree, X, t_X, missing, max_muts_from_start=1)
+    b.seed_fill_from(seed_b, seed_i, d0, ccr)
+    return sorted(_key(r) for r in b.result)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_jit_study_matches_host_dfs(seed):
+    T, L = 14, 200
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=5e-3, missing_fraction=0.1, seed=seed)
+    rng = np.random.default_rng(seed)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    packed = pack_study_tree(tree)
+
+    n_checked = 0
+    mm_seen = set()
+    for trial in range(40):
+        X = int(rng.integers(0, tree.num_nodes))
+        if X == tree.root:
+            continue
+        P = int(tree.parent[X])
+        a, b2 = tree.children[P]
+        S = int(b2) if int(a) == X else int(a)
+        if S == NO_NODE:
+            continue
+        t_X = float(tree.t[X])
+        ccr = bool(rng.integers(0, 2))
+        # seed deltas: the genuine P->X path deltas (X's branch mutations
+        # composed in time order) — the delta-chain algebra asserts
+        # consistency with the tree, so arbitrary maps are not valid input
+        from delphy_tpu.topo import site_deltas as sd
+        d0 = {}
+        for m in tree.mutations[X]:
+            sd.push_back(d0, m.site, m.from_, m.to)
+        # missing set: random subset of mutation sites, excluding d0's
+        # (production missing_at_X never overlaps the deltas to X)
+        all_sites = sorted({m.site for b in range(tree.num_nodes)
+                            for m in tree.mutations[b]} - set(d0))
+        k = int(rng.integers(0, max(1, len(all_sites) // 3)))
+        missing = set(int(s) for s in
+                      rng.choice(all_sites, size=k, replace=False)) \
+            if k else set()
+
+        host = _host_regions(tree, X, t_X, missing, S, 0, d0, ccr)
+        jit_ = sorted(_key(r) for r in bounded_spr_study(
+            tree, X, t_X, missing, S, 0, d0, ccr, packed=packed))
+        assert jit_ == host, (trial, X, S, ccr, len(host), len(jit_))
+        n_checked += 1
+        mm_seen.update(r[4] - len(d0) for r in host)
+    assert n_checked >= 20
+    # the one-crossing composition paths (+1 add, 0 update, -1 cancel) must
+    # actually have been exercised, not just the distance-0 plateau
+    assert 1 in mm_seen and (0 in mm_seen or -1 in mm_seen), mm_seen
