@@ -255,3 +255,167 @@ def bounded_spr_study(tree: FlatTree, X: int, t_X: float, missing_at_X: set,
             r.t_max = t_X
         out.append(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Region weights, sampling, and proposal densities (spr_study.cpp:226-547)
+# as jit kernels over the enumerated region arrays.
+# ---------------------------------------------------------------------------
+
+def pack_regions(tree: FlatTree, regions):
+    """Region list -> flat arrays (branch, above_root, t_min, t_max,
+    min_muts, t_S)."""
+    t = np.asarray(tree.t, dtype=np.float64)
+    br = np.array([r.branch for r in regions], dtype=np.int64)
+    return dict(
+        branch=jnp.asarray(br),
+        above=jnp.asarray(np.array([r.t_min == NEG_BIG for r in regions])),
+        t_min=jnp.asarray(np.array([r.t_min for r in regions])),
+        t_max=jnp.asarray(np.array([r.t_max for r in regions])),
+        mm=jnp.asarray(np.array([r.min_muts for r in regions],
+                                dtype=np.float64)),
+        t_S=jnp.asarray(t[br]),
+    )
+
+
+def _root_s_bounds(t_S, t_X, t_max_tip):
+    s_min = jnp.abs(t_X - t_S)
+    s_max = s_min + 20.0 * jnp.maximum(t_max_tip - jnp.minimum(t_X, t_S), 0.0)
+    return s_min, s_max
+
+
+def _log_gamma_integral(a, x_min, x_max):
+    """log(Q(a, x_min) - Q(a, x_max)), -inf when empty
+    (safe_gamma_math.h:82-90)."""
+    from jax.scipy.special import gammaincc
+    diff = jnp.maximum(gammaincc(a, x_min) - gammaincc(a, x_max), 0.0)
+    return jnp.where(diff > 0.0, jnp.log(jnp.maximum(diff, 1e-300)),
+                     -jnp.inf)
+
+
+@jax.jit
+def study_log_weights(reg, lambda_X, f, t_X, t_max_tip, mu):
+    """log W per region up to the common normalization
+    (spr_study.cpp:260-330; host twin topo/study.py SprStudy.__init__)."""
+    from jax.scipy.special import gammaln
+    m = reg["mm"]
+    # inner regions
+    t_prime = 0.5 * (reg["t_min"] + reg["t_max"])
+    arg1 = f * lambda_X * (reg["t_max"] - reg["t_min"])
+    arg2 = mu * (t_X - t_prime) / 3.0
+    inner_bad = (arg1 <= 0.0) | ((m > 0) & (arg2 <= 0.0))
+    safe1 = jnp.where(arg1 > 0, arg1, 1.0)
+    safe2 = jnp.where(arg2 > 0, arg2, 1.0)
+    lw_inner = jnp.where(
+        inner_bad, -jnp.inf,
+        jnp.log(safe1) + f * (-lambda_X * (t_X - t_prime)
+                              + m * jnp.log(safe2)))
+    # above-root region
+    s_min, s_max = _root_s_bounds(reg["t_S"], t_X, t_max_tip)
+    x_min = lambda_X * f * s_min
+    x_max = lambda_X * f * s_max
+    alpha = f * m + 1.0
+    ratio = jnp.where(s_max > 0, s_min / jnp.where(s_max > 0, s_max, 1.0), 0.0)
+    lw_root_small = (-jnp.log(2.0) + jnp.log(f * lambda_X)
+                     + f * m * jnp.log(mu / 3.0)
+                     + alpha * jnp.log(jnp.maximum(s_max, 1e-300))
+                     + jnp.log1p(-ratio ** alpha) - jnp.log(alpha))
+    lw_root_big = (-jnp.log(2.0) + f * m * jnp.log(mu / (3.0 * lambda_X * f))
+                   + gammaln(alpha) + _log_gamma_integral(alpha, x_min, x_max))
+    lw_root = jnp.where(x_max < 0.01, lw_root_small, lw_root_big)
+    return jnp.where(reg["above"], lw_root, lw_inner)
+
+
+@jax.jit
+def pick_nexus_region(u01, log_w):
+    """Region index from one uniform, exactly the host's scan over
+    W/W_max (same u -> same index a.e.)."""
+    log_wmax = jnp.max(log_w)
+    log_wmax = jnp.where(jnp.isfinite(log_wmax), log_wmax, 0.0)
+    w = jnp.exp(log_w - log_wmax)
+    c = jnp.cumsum(w)
+    u = u01 * c[-1]
+    return jnp.minimum(jnp.searchsorted(c, u, side="left"),
+                       log_w.shape[0] - 1).astype(jnp.int32)
+
+
+def _gammainccinv_jax(a, q, x_hi):
+    """Inverse of Q(a, x) in x by bisection over [0, x_hi] (jax has no
+    gammainccinv; callers clip the result into [x_lo, x_hi]/rate anyway, so
+    q below Q(a, x_hi) — including underflowed-to-0 deep tails — correctly
+    saturates at x_hi)."""
+    from jax.scipy.special import gammaincc
+    lo = jnp.zeros_like(q)
+    hi = x_hi * jnp.ones_like(q)
+
+    def body(i, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        too_low_x = gammaincc(a, mid) < q  # Q decreasing: Q(mid)<q -> x too big
+        hi = jnp.where(too_low_x, mid, hi)
+        lo = jnp.where(too_low_x, lo, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 100, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+@jax.jit
+def pick_time_in_region(u01, idx, reg, lambda_X, f, t_X, t_max_tip):
+    """Proposal time within region idx from one uniform
+    (spr_study.cpp pick_time; host twin pick_time_in_region)."""
+    t_min = reg["t_min"][idx]
+    t_max = reg["t_max"][idx]
+    m = reg["mm"][idx]
+    t_S = reg["t_S"][idx]
+    above = reg["above"][idx]
+    t_inner = t_max - u01 * (t_max - t_min)
+
+    s_min, s_max = _root_s_bounds(t_S, t_X, t_max_tip)
+    x_max = lambda_X * f * s_max
+    alpha = f * m + 1.0
+    U = 1e-16 + u01 * (1.0 - 1e-16)
+    s_small = (s_min ** alpha + U * (s_max ** alpha - s_min ** alpha)) \
+        ** (1.0 / alpha)
+    from jax.scipy.special import gammaincc
+    Q_hi = gammaincc(alpha, lambda_X * f * s_min)
+    Q_lo = gammaincc(alpha, lambda_X * f * s_max)
+    Q = Q_lo + U * (Q_hi - Q_lo)
+    y = _gammainccinv_jax(alpha, Q, lambda_X * f * s_max + 1.0)
+    s_big = jnp.clip(y / (lambda_X * f), s_min, s_max)
+    s = jnp.where(x_max < 0.01, s_small, s_big)
+    t_root = jnp.clip(0.5 * (t_X + t_S - s), t_min, t_max)
+    return jnp.where(above, t_root, t_inner)
+
+
+@jax.jit
+def log_alpha_in_region(idx, t, log_w, reg, lambda_X, f, t_X, t_max_tip):
+    """Proposal log-density of (region idx, time t) given the study weights
+    (spr_study.cpp log_alpha; host twin log_alpha_in_region)."""
+    from jax.scipy.special import gammaln
+    log_p_region = log_w[idx] - jax.scipy.special.logsumexp(log_w)
+    t_min = reg["t_min"][idx]
+    t_max = reg["t_max"][idx]
+    m = reg["mm"][idx]
+    t_S = reg["t_S"][idx]
+    above = reg["above"][idx]
+
+    la_inner = log_p_region - jnp.log(t_max - t_min)
+
+    s_min, s_max = _root_s_bounds(t_S, t_X, t_max_tip)
+    x_min = lambda_X * f * s_min
+    x_max = lambda_X * f * s_max
+    s = (t_X - t) + (t_S - t)
+    alpha = f * m + 1.0
+    ratio = jnp.where(s_max > 0, s_min / jnp.where(s_max > 0, s_max, 1.0), 0.0)
+    la_small = (log_p_region + jnp.log(2.0) + jnp.log(alpha)
+                + (alpha - 1.0) * jnp.log(jnp.maximum(s, 1e-300))
+                - alpha * jnp.log(jnp.maximum(s_max, 1e-300))
+                - jnp.log1p(-ratio ** alpha))
+    la_big = (log_p_region + jnp.log(2.0) + jnp.log(lambda_X * f)
+              + f * m * jnp.log(lambda_X * f * jnp.maximum(s, 1e-300))
+              - lambda_X * f * s - gammaln(alpha)
+              - _log_gamma_integral(alpha, x_min, x_max))
+    la_root = jnp.where(s > s_max + 1e-6, -jnp.inf,
+                        jnp.where(x_max < 0.01, la_small, la_big))
+    return jnp.where(above, la_root, la_inner)

@@ -74,3 +74,106 @@ def test_jit_study_matches_host_dfs(seed):
     # the one-crossing composition paths (+1 add, 0 update, -1 cancel) must
     # actually have been exercised, not just the distance-0 plateau
     assert 1 in mm_seen and (0 in mm_seen or -1 in mm_seen), mm_seen
+
+
+def test_jit_study_weights_and_densities_match_host():
+    """study_log_weights / pick_nexus_region / pick_time_in_region /
+    log_alpha_in_region against the host SprStudy on the same region lists
+    (same formulas, spr_study.cpp:226-547)."""
+    import jax.numpy as jnp
+    from delphy_tpu.topo.study import SprStudy
+    from delphy_tpu.ops.spr_study import (pack_regions, study_log_weights,
+                                          pick_nexus_region,
+                                          pick_time_in_region,
+                                          log_alpha_in_region)
+
+    T, L = 16, 300
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=5e-3, missing_fraction=0.08, seed=9)
+    rng = np.random.default_rng(9)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    t_max_tip = float(np.max(np.asarray(tree.t)[:T]))
+
+    checked_root = 0
+    for trial in range(30):
+        X = int(rng.integers(0, tree.num_nodes))
+        if X == tree.root:
+            continue
+        P = int(tree.parent[X])
+        a, b2 = tree.children[P]
+        S = int(b2) if int(a) == X else int(a)
+        t_X = float(tree.t[X])
+        b = SprStudyBuilder(tree, X, t_X, set(), max_muts_from_start=1)
+        b.seed_fill_from(S, 0, {}, True)
+        if not b.result:
+            continue
+        lambda_X = 0.002 * L
+        f = 0.8
+        host = SprStudy(b, lambda_X, f, t_X, t_max_tip)
+        mu = host.mu
+
+        reg = pack_regions(tree, host.regions)
+        lw = np.asarray(study_log_weights(reg, jnp.float64(lambda_X),
+                                          jnp.float64(f), jnp.float64(t_X),
+                                          jnp.float64(t_max_tip),
+                                          jnp.float64(mu)))
+        # host stores log_W_over_Wmax AFTER subtracting log_Wmax
+        host_lw = np.array([r.log_W_over_Wmax for r in host.regions])
+        got = lw - max(lw[np.isfinite(lw)].max(), 0.0) \
+            if not np.isfinite(lw).any() else lw - lw.max()
+        np.testing.assert_allclose(got, host_lw, rtol=1e-10, atol=1e-10)
+
+        for u in (0.037, 0.5, 0.912):
+            i_jit = int(pick_nexus_region(jnp.float64(u), jnp.asarray(lw)))
+            # host consumes u*sum_W from an rng; inject via a stub rng
+            class _U:
+                def uniform(self, lo, hi):
+                    return u * (hi - lo) + lo
+            i_host = host.pick_nexus_region(_U())
+            assert i_jit == i_host, (u, i_jit, i_host)
+
+            t_jit = float(pick_time_in_region(
+                jnp.float64(u), jnp.int32(i_jit), reg, jnp.float64(lambda_X),
+                jnp.float64(f), jnp.float64(t_X), jnp.float64(t_max_tip)))
+            class _U2:
+                def uniform(self, lo, hi):
+                    return lo + u * (hi - lo)
+            t_host = host.pick_time_in_region(i_host, _U2())
+            if host.regions[i_host].is_above_root():
+                checked_root += 1
+                assert abs(t_jit - t_host) < 1e-6 * max(
+                    1.0, abs(t_host)), (t_jit, t_host)
+            else:
+                np.testing.assert_allclose(t_jit, t_host, rtol=1e-12)
+
+            la_jit = float(log_alpha_in_region(
+                jnp.int32(i_jit), jnp.float64(t_jit), jnp.asarray(lw), reg,
+                jnp.float64(lambda_X), jnp.float64(f), jnp.float64(t_X),
+                jnp.float64(t_max_tip)))
+            la_host = host.log_alpha_in_region(i_host, t_host)
+            np.testing.assert_allclose(la_jit, la_host, rtol=1e-8,
+                                       atol=1e-8)
+
+        # force the above-root branch (gamma-integral weights, inverse-Q
+        # time sampling) whenever this study has one
+        for i_r, r in enumerate(host.regions):
+            if not r.is_above_root():
+                continue
+            checked_root += 1
+            t_jit = float(pick_time_in_region(
+                jnp.float64(0.41), jnp.int32(i_r), reg,
+                jnp.float64(lambda_X), jnp.float64(f), jnp.float64(t_X),
+                jnp.float64(t_max_tip)))
+            class _U3:
+                def uniform(self, lo, hi):
+                    return lo + 0.41 * (hi - lo)
+            t_host = host.pick_time_in_region(i_r, _U3())
+            assert abs(t_jit - t_host) < 1e-6 * max(1.0, abs(t_host))
+            la_jit = float(log_alpha_in_region(
+                jnp.int32(i_r), jnp.float64(t_jit), jnp.asarray(lw), reg,
+                jnp.float64(lambda_X), jnp.float64(f), jnp.float64(t_X),
+                jnp.float64(t_max_tip)))
+            la_host = host.log_alpha_in_region(i_r, t_host)
+            np.testing.assert_allclose(la_jit, la_host, rtol=1e-6, atol=1e-6)
+            break
+    assert checked_root >= 1, "no above-root region exercised"
