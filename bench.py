@@ -16,7 +16,35 @@ import time
 os.environ.setdefault("DELPHY_TPU_F32", "1")
 
 
+def _tpu_tunnel_preflight():
+    """Fail fast (instead of hanging in backend init) when the axon tunnel
+    relay is down: jax.devices() retries a dead endpoint forever.  Observed
+    2026-08-18 after a remote compile-server crash killed the relay; see
+    doc/BENCH_LOG_r02.md for the measured results from before the outage."""
+    import socket
+    ports = [8082, 8083, 8087, 8092, 8093, 8097, 8102, 8103, 8107,
+             8112, 8113, 8117]
+    for p in ports:
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            s.connect(("127.0.0.1", p))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
+    if (os.environ.get("JAX_PLATFORMS", "") in ("", "axon")
+            and not _tpu_tunnel_preflight()):
+        print("bench.py: TPU tunnel relay is not listening on any axon port; "
+              "refusing to hang in backend init. Last measured results: "
+              "doc/BENCH_LOG_r02.md (Ebola 1.05-1.07M moves/s, 2.11-2.14x).",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
     import numpy as np
     from delphy_tpu.sim import simulate_dataset
     from delphy_tpu.init_tree import build_initial_tree
