@@ -157,23 +157,35 @@ def bounded_spr_study(tree: FlatTree, X: int, t_X: float, missing_at_X: set,
     N, M, R = p["N"], p["M"], p["R"]
     root = p["root"]
 
-    miss = np.sort(np.fromiter(missing_at_X, dtype=np.int64, count=len(missing_at_X))) \
-        if missing_at_X else np.zeros(0, dtype=np.int64)
-    idx = np.searchsorted(miss, p["m_site"])
-    in_miss = (idx < len(miss)) & (miss[np.clip(idx, 0, max(len(miss) - 1, 0))]
-                                   == p["m_site"]) if len(miss) else \
-        np.zeros(M, dtype=bool)
-    counted = ~in_miss
+    def _member(sorted_arr, values):
+        if len(sorted_arr) == 0:
+            return np.zeros(len(values), dtype=bool)
+        i = np.searchsorted(sorted_arr, values)
+        i_c = np.clip(i, 0, len(sorted_arr) - 1)
+        return (i < len(sorted_arr)) & (sorted_arr[i_c] == values)
 
-    # size effect of composing the one counted crossing with init_deltas
+    miss = (np.sort(np.fromiter(missing_at_X, dtype=np.int64,
+                                count=len(missing_at_X)))
+            if missing_at_X else np.zeros(0, dtype=np.int64))
+    counted = ~_member(miss, p["m_site"])
+
+    # size effect of composing the one counted crossing with init_deltas:
+    # +1 site absent, -1 crossing cancels the stored delta, else 0
     d_down = np.ones(M, dtype=np.int32)
     d_up = np.ones(M, dtype=np.int32)
-    for j in range(M):
-        s = int(p["m_site"][j])
-        if s in init_deltas:
-            f0, t0 = init_deltas[s]
-            d_down[j] = -1 if int(p["m_to"][j]) == t0 else 0
-            d_up[j] = -1 if int(p["m_from"][j]) == t0 else 0
+    if init_deltas:
+        d_sites = np.sort(np.fromiter(init_deltas, dtype=np.int64,
+                                      count=len(init_deltas)))
+        d_t0 = np.array([init_deltas[int(s)][1] for s in d_sites],
+                        dtype=np.int64)
+        hit = _member(d_sites, p["m_site"])
+        pos = np.clip(np.searchsorted(d_sites, p["m_site"]), 0,
+                      len(d_sites) - 1)
+        t0 = d_t0[pos]
+        d_down = np.where(hit, np.where(p["m_to"] == t0, -1, 0), 1) \
+            .astype(np.int32)
+        d_up = np.where(hit, np.where(p["m_from"] == t0, -1, 0), 1) \
+            .astype(np.int32)
 
     rid_base = p["rid_base"]
     seed_rid = int(rid_base[seed_branch] + seed_mut_idx)
