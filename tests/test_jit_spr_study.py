@@ -177,3 +177,64 @@ def test_jit_study_weights_and_densities_match_host():
             np.testing.assert_allclose(la_jit, la_host, rtol=1e-6, atol=1e-6)
             break
     assert checked_root >= 1, "no above-root region exercised"
+
+
+def test_jit_study_flood_vmaps_over_detach_candidates():
+    """The flood kernel is fixed-shape per tree, so a BATCH of detach
+    candidates X enumerates in one vmapped call — the shape of a future
+    device-batched SPR proposal stage. Each batched result must equal the
+    per-X host DFS."""
+    import jax
+    import jax.numpy as jnp
+    from delphy_tpu.ops.spr_study import _bounded_flood
+
+    T, L = 12, 150
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=6e-3, missing_fraction=0.0, seed=13)
+    rng = np.random.default_rng(13)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    p = pack_study_tree(tree)
+    R, M = p["R"], p["M"]
+    rid_base = p["rid_base"]
+    r_above = jnp.asarray(p["m_branch"] + np.arange(M, dtype=np.int64))
+    counted = jnp.ones(M, dtype=bool)
+    ones = jnp.ones(M, dtype=jnp.int32)
+
+    # batch: every non-root node as X, seeded at its sibling
+    Xs, seeds = [], []
+    for X in range(tree.num_nodes):
+        if X == tree.root:
+            continue
+        P = int(tree.parent[X])
+        a, b2 = tree.children[P]
+        S = int(b2) if int(a) == X else int(a)
+        Xs.append(X)
+        seeds.append(int(rid_base[S]))
+    Xs = np.array(Xs)
+    seeds = np.array(seeds)
+
+    flood_b = jax.vmap(
+        lambda s, lo, hi: _bounded_flood(
+            R, s, lo, hi, r_above, counted, jnp.asarray(p["jr_parent"]),
+            jnp.asarray(p["jr_child"]), jnp.int32(0), ones, ones))
+    reach0, reach1, _ = flood_b(jnp.asarray(seeds),
+                                jnp.asarray(rid_base[Xs]),
+                                jnp.asarray(rid_base[Xs] + p["nb"][Xs]))
+    reach0 = np.asarray(reach0)
+    reach1 = np.asarray(reach1)
+
+    for row, X in enumerate(Xs):
+        P = int(tree.parent[X])
+        a, b2 = tree.children[P]
+        S = int(b2) if int(a) == X else int(a)
+        # raw DFS visit set (before the detachment rewrites, which the
+        # wrapper applies host-side and the per-X test already pins)
+        b = SprStudyBuilder(tree, int(X), float(tree.t[X]), set(),
+                            max_muts_from_start=1)
+        b.cur_to_X_deltas = {}
+        b.add_forward_movement(S, 0)
+        b.do_pending_work()
+        host_rids = sorted(int(rid_base[br]) + mi
+                           for (br, mi, _, _, _) in b.result)
+        got = sorted(np.nonzero(reach0[row] | reach1[row])[0].tolist())
+        assert got == host_rids, (X, got, host_rids)
