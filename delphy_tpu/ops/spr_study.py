@@ -431,3 +431,13 @@ def log_alpha_in_region(idx, t, log_w, reg, lambda_X, f, t_X, t_max_tip):
     la_root = jnp.where(s > s_max + 1e-6, -jnp.inf,
                         jnp.where(x_max < 0.01, la_small, la_big))
     return jnp.where(above, la_root, la_inner)
+
+
+@jax.jit
+def find_region(branch, t, reg):
+    """Index of the region containing (branch, t), -1 if none (the reverse-
+    proposal lookup, spr_study.cpp find_region; host twin find_region)."""
+    hit = ((reg["branch"] == branch) & (reg["t_min"] < t)
+           & (t <= reg["t_max"]))
+    idx = jnp.argmax(hit)
+    return jnp.where(jnp.any(hit), idx, -1).astype(jnp.int32)

@@ -238,3 +238,32 @@ def test_jit_study_flood_vmaps_over_detach_candidates():
                            for (br, mi, _, _, _) in b.result)
         got = sorted(np.nonzero(reach0[row] | reach1[row])[0].tolist())
         assert got == host_rids, (X, got, host_rids)
+
+
+def test_jit_find_region_matches_host():
+    import jax.numpy as jnp
+    from delphy_tpu.topo.study import SprStudy
+    from delphy_tpu.ops.spr_study import pack_regions, find_region
+
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        10, 150, mu=6e-3, missing_fraction=0.0, seed=23)
+    rng = np.random.default_rng(23)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    X = next(i for i in range(tree.num_nodes)
+             if i != tree.root and int(tree.parent[i]) != tree.root)
+    P = int(tree.parent[X])
+    a, b2 = tree.children[P]
+    S = int(b2) if int(a) == X else int(a)
+    b = SprStudyBuilder(tree, X, float(tree.t[X]), set(), 1)
+    b.seed_fill_from(S, 0, {}, True)
+    host = SprStudy(b, 0.5, 0.8, float(tree.t[X]),
+                    float(np.max(np.asarray(tree.t))))
+    reg = pack_regions(tree, host.regions)
+    for r in host.regions[:8]:
+        tt = 0.5 * (max(r.t_min, r.t_max - 10.0) + r.t_max)
+        i_host = host.find_region(r.branch, tt)
+        i_jit = int(find_region(jnp.int64(r.branch), jnp.float64(tt), reg))
+        assert i_host == i_jit, (r.branch, tt, i_host, i_jit)
+    # a miss
+    assert int(find_region(jnp.int64(tree.root), jnp.float64(1e18), reg)) \
+        == host.find_region(tree.root, 1e18) == -1
