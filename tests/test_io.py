@@ -255,3 +255,19 @@ def test_write_resolved_fasta(tmp_path):
                 continue
             expect = "ACGT"[want.get(l, int(ref[l]))]
             assert seq[l] == expect, (i, l)
+
+def test_newick_attributes_and_quoted_labels():
+    """NEXUS-style [&key=value] annotations and quoted labels parse as the
+    reference's Newick attribute maps (newick.h:25-86)."""
+    from delphy_tpu.io.newick import parse_newick
+    s = ("('tip one':1.5[&rate=0.5,set={1,2}],tipB[&mut=A1G]:2.0)"
+         "root[&posterior=0.97]:0.0;")
+    root = parse_newick(s)
+    assert len(root.children) == 2
+    a, b = root.children
+    assert a.name == "tip one"
+    assert a.attributes.get("rate") == "0.5"
+    assert a.attributes.get("set") == "{1,2}"
+    assert b.attributes.get("mut") == "A1G"
+    assert root.attributes.get("posterior") == "0.97"
+    assert abs(a.length - 1.5) < 1e-12 and abs(b.length - 2.0) < 1e-12
