@@ -122,3 +122,57 @@ def sample_roundtrip_mask(key, L: int, T, mu):
                                 -muT - jnp.log1p(-p1))
     q = -jnp.expm1(log_one_minus_p)  # per-site tricky probability
     return jax.random.uniform(key, (L,), dtype=q.dtype) < q
+
+
+@partial(jax.jit, static_argnames=("L",))
+def sample_unconstrained_history(key, L: int, T, mu):
+    """Backward-Gillespie JC trajectory over L sites on [-T, 0] with every
+    site's end state A (spr_move.cpp:1372-1407; host twin
+    topo/history.py:120-136): event count ~ Poisson(mu*L*T), event times
+    uniform, sites uniform, and per-site state chains built BACKWARD from
+    the end state (each event's `to` is the site's state just after it,
+    `from` a uniformly different state).
+
+    Returns (k, site[KMAX], frm[KMAX], to[KMAX], t[KMAX]) in forward time
+    order, padded with site -1 / time +inf past k.  States are relative to
+    end-state A (rotate via adjust_mutational_history semantics on the
+    host, topo/history.py:139-156).
+    """
+    lam = mu * L * T
+    k_key, t_key, s_key, c_key = jax.random.split(key, 4)
+    k = sample_k_truncated_poisson(k_key, lam, 0)
+    mask = jnp.arange(KMAX) < k
+    times = jnp.where(mask,
+                      jax.random.uniform(t_key, (KMAX,), dtype=T.dtype,
+                                         minval=-T, maxval=0.0), -jnp.inf)
+    order = jnp.argsort(-times)  # backward: latest event first
+    sites = jnp.where(mask, jax.random.randint(s_key, (KMAX,), 0, L), 0)
+    steps = jax.random.randint(c_key, (KMAX,), 1, 4, dtype=jnp.int32)
+
+    # walk events backward (permute every per-event array into backward-time
+    # order so multi-event sites chain correctly); cur[l] = state of site l
+    # at the current time
+    sites_b = sites[order]
+    steps_b = steps[order]
+    active_b = mask[order]
+
+    def body(cur, inp):
+        site, step, active = inp
+        s_now = cur[site]
+        s_prev = (s_now + step) % 4
+        cur = jnp.where(active, cur.at[site].set(s_prev), cur)
+        return cur, (jnp.where(active, s_prev, -1),
+                     jnp.where(active, s_now, -1))
+
+    cur0 = jnp.zeros(L, jnp.int32)  # end state A everywhere
+    _, (frm_b, to_b) = jax.lax.scan(body, cur0, (sites_b, steps_b, active_b))
+
+    # back to original slot order, then emit in forward time order
+    inv = jnp.argsort(order)
+    frm = frm_b[inv]
+    to = to_b[inv]
+    out_t = jnp.where(mask, times, jnp.inf)
+    srt = jnp.argsort(out_t)
+    out_sites = jnp.where(mask, sites, -1)
+    return (k, out_sites[srt].astype(jnp.int32), frm[srt], to[srt],
+            out_t[srt])

@@ -270,3 +270,47 @@ def test_jit_roundtrip_mask_rate_matches_host_skip():
     # fraction for k>=2 paths returning to start (~1/3 for small mu*T)
     assert 0.15 * dev_rate < host_rate <= dev_rate * 1.05, \
         (dev_rate, host_rate)
+
+
+def test_jit_unconstrained_history_matches_host():
+    """Backward-Gillespie unconstrained history: event-count distribution,
+    per-site chain consistency (each site's forward chain ends at A), and
+    time ordering vs the host sampler."""
+    import jax
+    import jax.numpy as jnp
+    from delphy_tpu.ops import history as jh
+    from delphy_tpu.topo.history import sample_unconstrained_mutational_history
+
+    L, T_dur, mu = 25, 0.7, 0.15   # mu*L*T ~ 2.6 events on average
+    B = 8000
+    key = jax.random.PRNGKey(7)
+    ks, sites, frm, to, times = jax.vmap(
+        lambda kk: jh.sample_unconstrained_history(
+            kk, L, jnp.float64(T_dur), jnp.float64(mu)))(
+        jax.random.split(key, B))
+    ks = np.asarray(ks); sites = np.asarray(sites)
+    frm = np.asarray(frm); to = np.asarray(to); times = np.asarray(times)
+
+    rng = np.random.default_rng(4)
+    host_ks = [len(sample_unconstrained_mutational_history(rng, L, T_dur, mu))
+               for _ in range(4000)]
+    for kk in range(6):
+        f_dev = float(np.mean(ks == kk))
+        f_host = float(np.mean(np.asarray(host_ks) == kk))
+        assert abs(f_dev - f_host) < 0.03, (kk, f_dev, f_host)
+
+    # structural invariants on a sample of rows
+    for i in range(0, B, 400):
+        k = ks[i]
+        if k == 0:
+            continue
+        ss, ff, tt, t_ = sites[i, :k], frm[i, :k], to[i, :k], times[i, :k]
+        assert (np.diff(t_) >= 0).all() and (t_ <= 0).all() and (t_ >= -T_dur).all()
+        assert (ff != tt).all()
+        # each site's chain is consistent forward in time and ends at A (0)
+        for l in set(ss.tolist()):
+            idx = np.nonzero(ss == l)[0]
+            chain_f, chain_t = ff[idx], tt[idx]
+            for j in range(len(idx) - 1):
+                assert chain_t[j] == chain_f[j + 1], (l, chain_f, chain_t)
+            assert chain_t[-1] == 0
