@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from ..state import TreeState
 from ..evo import EvoParams
 from .. import pop as popm
-from ..mcmc.moves import Ledger, Caches, bounded_exp_sample, _mh_accept
-from ..mcmc import global_moves as gm
+from ..mcmc.moves import Caches, bounded_exp_sample, _mh_accept
 from ..mcmc.kernel import run_global_moves
 from . import vsc_device as vsc
 

@@ -20,7 +20,6 @@ from .evo import make_evo_params, EvoParams
 from . import pop as popm
 from .ops import likelihood as lk
 from .ops import coalescent as coal
-from .mcmc.kernel import super_step, multi_super_step
 from .mcmc import global_moves as gm
 from .mcmc.global_moves import PriorConfig
 from .mcmc.moves import Ledger

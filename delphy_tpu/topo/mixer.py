@@ -9,7 +9,6 @@ import math
 import numpy as np
 
 from ..phylo import FlatTree, NO_NODE
-from . import site_deltas as sd
 from .graft import SprContext, _sibling, _miss_sites
 from .study import SprStudyBuilder, SprStudy
 
