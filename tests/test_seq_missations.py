@@ -121,3 +121,25 @@ def test_fix_up_missations_idempotent_on_random_trees():
                            rng=np.random.default_rng(31))
     for i in range(tree.num_tips):
         assert tip_missing(tree, i) == tip_missing(t2, i)
+
+
+# ---- interval/site-set algebra (core/interval_set.h) ------------------------
+
+def test_complement_sites_algebra():
+    from delphy_tpu.topo.graft import ComplementSites, _sites_to_intervals
+    cs = ComplementSites(10)
+    assert len(cs) == 10 and 0 in cs and 9 in cs and 10 not in cs and -1 not in cs
+    cs2 = cs - {3, 4}
+    assert len(cs2) == 8 and 3 not in cs2 and 5 in cs2
+    cs3 = cs2 - {4, 7}       # overlapping exclusion composes as a union
+    assert len(cs3) == 7 and 7 not in cs3
+    assert bool(ComplementSites(2) - {0, 1}) is False
+
+    # site-set <-> interval round trip (single-pass merging of runs)
+    assert _sites_to_intervals(set()) == []
+    assert _sites_to_intervals({1, 2, 3, 7, 9, 10}) == [(1, 4), (7, 8), (9, 11)]
+    ivs = _sites_to_intervals({0, 2, 3, 4, 8})
+    back = set()
+    for (s, e) in ivs:
+        back.update(range(s, e))
+    assert back == {0, 2, 3, 4, 8}
