@@ -1,0 +1,219 @@
+"""Jitted SPR1 move for missation-free trees (inner grafts).
+
+End-to-end device SPR1 on a padded-per-branch tree representation: the
+bounded study flood + weights (ops/spr_study.py) pick the regraft edge and
+time, the constrained history sampler (ops/history.py) proposes the new
+branch history, the MH ratio assembles from closed-form branch terms, and
+the accepted surgery (detach + merge, split + attach, new branch history)
+is pure fixed-shape array rewriting.
+
+Scope (v1, stated restrictions — the production engine keeps the native
+host kernel; this is the device re-design of the move's core):
+  * missation-free trees — the graft analysis collapses to ONE branch info
+    (hot = all sites; reference spr_move.h:47-84 with empty missation maps),
+  * inner moves only: X's parent is not the root, and above-root regraft
+    regions are filtered from the study weights (no root changes).
+
+Under those restrictions the branch-merge at the detach point and the
+branch-split at the attach point are log_G-NEUTRAL (the per-site intensity
+path along the merged/split branches is unchanged), so delta_log_G is just
+the new-vs-old P->X branch term — exactly the host graft's delta_log_G
+(topo/graft.py _finish_graft_analysis, reference spr_move.cpp:246-316).
+
+Representation: per-branch padded mutation lists (N, W) sorted by time —
+fixed-shape surgery, unlike the engine's global CSR pool.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..phylo import FlatTree, Mutation, NO_NODE
+
+BIG_T = jnp.inf
+
+
+def pack_tree(tree: FlatTree, W: int | None = None):
+    """FlatTree (no missations) -> padded-per-branch arrays."""
+    N = tree.num_nodes
+    assert all(not iv for iv in tree.miss_intervals), "missation-free only"
+    counts = np.array([len(tree.mutations[b]) for b in range(N)])
+    if W is None:
+        W = int(max(8, 2 * counts.max() + 4))
+    msite = np.full((N, W), -1, dtype=np.int32)
+    mfrom = np.zeros((N, W), dtype=np.int32)
+    mto = np.zeros((N, W), dtype=np.int32)
+    mt = np.full((N, W), np.inf)
+    for b in range(N):
+        for i, m in enumerate(tree.mutations[b]):
+            msite[b, i], mfrom[b, i], mto[b, i], mt[b, i] = \
+                m.site, m.from_, m.to, m.t
+    return dict(
+        parent=jnp.asarray(np.asarray(tree.parent, dtype=np.int32)),
+        children=jnp.asarray(np.asarray(tree.children, dtype=np.int32)),
+        t=jnp.asarray(np.asarray(tree.t, dtype=np.float64)),
+        mcount=jnp.asarray(counts.astype(np.int32)),
+        msite=jnp.asarray(msite), mfrom=jnp.asarray(mfrom),
+        mto=jnp.asarray(mto), mt=jnp.asarray(mt),
+        root=jnp.int32(int(tree.root)),
+    )
+
+
+def unpack_tree(p, tree_template: FlatTree) -> FlatTree:
+    """Padded arrays -> FlatTree (for oracle checks in tests)."""
+    out = tree_template.copy()
+    out.parent = np.asarray(p["parent"], dtype=out.parent.dtype)
+    out.children = np.asarray(p["children"], dtype=out.children.dtype)
+    out.t = np.asarray(p["t"], dtype=np.float64)
+    N = out.num_nodes
+    mc = np.asarray(p["mcount"])
+    ms, mf, mtt, mti = (np.asarray(p["msite"]), np.asarray(p["mfrom"]),
+                        np.asarray(p["mto"]), np.asarray(p["mt"]))
+    out.mutations = [
+        [Mutation(site=int(ms[b, i]), from_=int(mf[b, i]), to=int(mtt[b, i]),
+                  t=float(mti[b, i])) for i in range(int(mc[b]))]
+        for b in range(N)
+    ]
+    return out
+
+
+def _row_sorted_by_time(msite, mfrom, mto, mt):
+    """Sort one branch row by time (pads at +inf stay last)."""
+    o = jnp.argsort(mt)
+    return msite[o], mfrom[o], mto[o], mt[o]
+
+
+@jax.jit
+def detach(p, X):
+    """Detach X: merge its parent P away (branch G->P prepends onto S).
+    Returns (packed_detached, S, P).  P becomes a floating spare node; X's
+    branch row is left in place (callers overwrite it on attach).
+
+    Pre: X's parent is not the root; counts fit W."""
+    parent, children, t = p["parent"], p["children"], p["t"]
+    msite, mfrom, mto, mt = p["msite"], p["mfrom"], p["mto"], p["mt"]
+    mcount = p["mcount"]
+    W = msite.shape[1]
+    P = parent[X]
+    c0, c1 = children[P, 0], children[P, 1]
+    S = jnp.where(c0 == X, c1, c0)
+    G = parent[P]
+
+    cp, cs = mcount[P], mcount[S]
+    idx = jnp.arange(W)
+    from_p = idx < cp
+    src_s = jnp.clip(idx - cp, 0, W - 1)
+    nsite = jnp.where(from_p, msite[P], msite[S][src_s])
+    nfrom = jnp.where(from_p, mfrom[P], mfrom[S][src_s])
+    nto = jnp.where(from_p, mto[P], mto[S][src_s])
+    nt = jnp.where(from_p, mt[P], mt[S][src_s])
+    valid = idx < cp + cs
+    nsite = jnp.where(valid, nsite, -1)
+    nt = jnp.where(valid, nt, BIG_T)
+    msite = msite.at[S].set(nsite)
+    mfrom = mfrom.at[S].set(jnp.where(valid, nfrom, 0))
+    mto = mto.at[S].set(jnp.where(valid, nto, 0))
+    mt = mt.at[S].set(nt)
+    mcount = mcount.at[S].set(cp + cs)
+    children = children.at[G, 0].set(jnp.where(children[G, 0] == P, S,
+                                               children[G, 0]))
+    children = children.at[G, 1].set(jnp.where(children[G, 1] == P, S,
+                                               children[G, 1]))
+    parent = parent.at[S].set(G)
+    # neutralize P so path walks cannot route through it
+    parent = parent.at[P].set(jnp.int32(-1))
+    pd = dict(parent=parent, children=children, t=t, mcount=mcount,
+              msite=msite, mfrom=mfrom, mto=mto, mt=mt, root=p["root"])
+    return pd, S, P
+
+
+@jax.jit
+def attach(p, X, P, SS, t_new, h_site, h_from, h_to, h_t, h_count):
+    """Re-attach detached X on branch SS at time t_new, reusing spare node P,
+    and set X's branch mutations to the sampled history (h_*, time-sorted,
+    padded with +inf times / site -1).
+
+    Pre: SS is not X and not in X's (detached) subtree; counts fit W."""
+    parent, children, t = p["parent"], p["children"], p["t"]
+    msite, mfrom, mto, mt = p["msite"], p["mfrom"], p["mto"], p["mt"]
+    mcount = p["mcount"]
+    W = msite.shape[1]
+    idx = jnp.arange(W)
+    GG = parent[SS]
+    css = mcount[SS]
+    upper = (mt[SS] < t_new) & (idx < css)   # go to the new G'->P branch
+    n_up = jnp.sum(upper).astype(jnp.int32)
+    # P's row: SS's upper muts (already time-sorted, stable compaction)
+    ord_up = jnp.argsort(~upper)  # uppers first, stable
+    msite = msite.at[P].set(jnp.where(idx < n_up, msite[SS][ord_up], -1))
+    mfrom = mfrom.at[P].set(jnp.where(idx < n_up, mfrom[SS][ord_up], 0))
+    mto = mto.at[P].set(jnp.where(idx < n_up, mto[SS][ord_up], 0))
+    mt = mt.at[P].set(jnp.where(idx < n_up, mt[SS][ord_up], BIG_T))
+    mcount = mcount.at[P].set(n_up)
+    # SS keeps the lower muts
+    ord_lo = jnp.argsort(jnp.where(upper, BIG_T, mt[SS]))
+    n_lo = css - n_up
+    msite = msite.at[SS].set(jnp.where(idx < n_lo, msite[SS][ord_lo], -1))
+    mfrom = mfrom.at[SS].set(jnp.where(idx < n_lo, mfrom[SS][ord_lo], 0))
+    mto = mto.at[SS].set(jnp.where(idx < n_lo, mto[SS][ord_lo], 0))
+    mt = mt.at[SS].set(jnp.where(idx < n_lo, mt[SS][ord_lo], BIG_T))
+    mcount = mcount.at[SS].set(n_lo)
+    # wire GG -> P -> {SS, X}
+    children = children.at[GG, 0].set(jnp.where(children[GG, 0] == SS, P,
+                                                children[GG, 0]))
+    children = children.at[GG, 1].set(jnp.where(children[GG, 1] == SS, P,
+                                                children[GG, 1]))
+    parent = parent.at[P].set(GG)
+    parent = parent.at[SS].set(P)
+    parent = parent.at[X].set(P)
+    lo = jnp.minimum(SS, X)
+    hi = jnp.maximum(SS, X)
+    children = children.at[P, 0].set(lo)
+    children = children.at[P, 1].set(hi)
+    t = t.at[P].set(t_new)
+
+    # X's branch = proposed history
+    msite = msite.at[X].set(h_site)
+    mfrom = mfrom.at[X].set(h_from)
+    mto = mto.at[X].set(h_to)
+    mt = mt.at[X].set(h_t)
+    mcount = mcount.at[X].set(h_count)
+
+    return dict(parent=parent, children=children, t=t, mcount=mcount,
+                msite=msite, mfrom=mfrom, mto=mto, mt=mt, root=p["root"])
+
+
+def detach_attach(p, X, SS, t_new, h_site, h_from, h_to, h_t, h_count):
+    """detach + attach in one call (SS given in the ORIGINAL tree's ids)."""
+    pd, S, P = detach(p, X)
+    SS = jnp.where(SS == P, S, SS)  # old P's branch merged onto S
+    return attach(pd, X, P, SS, t_new, h_site, h_from, h_to, h_t, h_count)
+
+
+def branch_log_G(t_top, t_bot, lam_bot, site, frm, to, tmid, count, mu, nu,
+                 qtab, qatab, part):
+    """calc_branch_log_G (phylo_tree_calc.h:185-206) over one padded row."""
+    idx = jnp.arange(site.shape[0])
+    active = idx < count
+    s = jnp.maximum(site, 0)
+    nus = nu[s]
+    qa_f = qatab[part[s] * 4 + frm]
+    qa_t = qatab[part[s] * 4 + to]
+    qrate = qtab[part[s] * 16 + frm * 4 + to]
+    term = (-mu * nus * (qa_f - qa_t) * (tmid - t_top)
+            + jnp.log(jnp.maximum(mu * nus * qrate, 1e-300)))
+    return -lam_bot * (t_bot - t_top) + jnp.sum(jnp.where(active, term, 0.0))
+
+
+def log_alpha_mut(L, T, M, d, mu_prop):
+    """Proposal density of a closed branch history (graft.py:487-501,
+    spr_move.cpp:799-866): K-truncated-Poisson/uniformization forward terms
+    minus the Nielsen endpoint-acceptance normalization."""
+    out = -mu_prop * L * T + M * jnp.log(mu_prop / 3.0)
+    P_AC = -0.25 * jnp.expm1(-4.0 / 3.0 * mu_prop * T)
+    out -= ((L - d) * jnp.log1p(-3.0 * P_AC) + d * jnp.log(P_AC))
+    return out

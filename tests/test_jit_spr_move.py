@@ -1,0 +1,130 @@
+"""Jitted SPR1 building blocks (ops/spr_move.py) vs host oracles on
+missation-free trees."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import oracles
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_random_tree, NO_NODE
+from delphy_tpu.evo import make_evo_params
+from delphy_tpu.ops.spr_move import (pack_tree, unpack_tree, detach_attach,
+                                     branch_log_G, log_alpha_mut)
+
+
+def _no_miss_tree(T=12, L=150, seed=5):
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=6e-3, missing_fraction=0.0, seed=seed)
+    rng = np.random.default_rng(seed)
+    return build_random_tree(ref, deltas, [[] for _ in range(T)], dates,
+                             names=names, rng=rng), rng
+
+
+def _evo(L, rng):
+    return make_evo_params(L, mu=6e-3, kappa=2.0, pi=(0.3, 0.2, 0.3, 0.2),
+                           nu=rng.gamma(8.0, 1 / 8.0, size=L))
+
+
+def _logG(tree, evo):
+    return oracles.log_G(tree, float(evo.mu), np.asarray(evo.nu),
+                         np.asarray(evo.q), np.asarray(evo.pi))
+
+
+def test_pack_unpack_identity():
+    tree, rng = _no_miss_tree()
+    evo = _evo(tree.num_sites, rng)
+    p = pack_tree(tree)
+    back = unpack_tree(p, tree)
+    back.check_integrity()
+    np.testing.assert_allclose(_logG(back, evo), _logG(tree, evo), rtol=1e-12)
+
+
+def test_detach_attach_roundtrip_restores_log_G():
+    """Detach X and re-attach at the identical position with the identical
+    branch history: the resulting tree must have the same log_G and pass
+    integrity (node id P is reused; S/X child order is canonical)."""
+    tree, rng = _no_miss_tree(seed=7)
+    evo = _evo(tree.num_sites, rng)
+    lg0 = _logG(tree, evo)
+    p0 = pack_tree(tree)
+    W = int(np.asarray(p0["msite"]).shape[1])
+
+    n_done = 0
+    for X in range(tree.num_nodes):
+        if X == tree.root:
+            continue
+        P = int(tree.parent[X])
+        if P == tree.root:
+            continue  # v1 restriction: inner moves only
+        a, b = tree.children[P]
+        S = int(b) if int(a) == X else int(a)
+        t_P = float(tree.t[P])
+        h = np.asarray(p0["msite"][X]), np.asarray(p0["mfrom"][X]), \
+            np.asarray(p0["mto"][X]), np.asarray(p0["mt"][X]), \
+            int(np.asarray(p0["mcount"][X]))
+        p1 = detach_attach(p0, jnp.int32(X), jnp.int32(S),
+                           jnp.float64(t_P), jnp.asarray(h[0]),
+                           jnp.asarray(h[1]), jnp.asarray(h[2]),
+                           jnp.asarray(h[3]), jnp.int32(h[4]))
+        back = unpack_tree(p1, tree)
+        back.check_integrity()
+        np.testing.assert_allclose(_logG(back, evo), lg0, rtol=1e-10)
+        n_done += 1
+    assert n_done >= 5
+
+
+def test_branch_log_G_matches_host():
+    from delphy_tpu.topo.graft import SprContext
+    tree, rng = _no_miss_tree(seed=9)
+    evo = _evo(tree.num_sites, rng)
+    ctx = SprContext(tree, float(evo.mu), np.asarray(evo.nu),
+                     np.asarray(evo.q), np.asarray(evo.pi))
+    p = pack_tree(tree)
+    part = jnp.asarray(np.asarray(evo.part, dtype=np.int64))
+    qtab = jnp.asarray(np.asarray(evo.q_tab, dtype=np.float64).reshape(-1))
+    # per-partition escape rates: qatab[p*4 + a] = -q[p][a][a]
+    q_tab_np = np.asarray(evo.q_tab, dtype=np.float64)
+    qatab = jnp.asarray(
+        np.stack([-np.diag(q_tab_np.reshape(-1, 4, 4)[i])
+                  for i in range(q_tab_np.reshape(-1, 4, 4).shape[0])])
+        .reshape(-1))
+    for X in range(tree.num_nodes):
+        if X == tree.root or not tree.mutations[X]:
+            continue
+        P = int(tree.parent[X])
+        lam_X = ctx.lambda_at(X)
+        want = ctx.branch_log_G(float(tree.t[P]), float(tree.t[X]), lam_X,
+                                tree.mutations[X])
+        got = float(branch_log_G(
+            jnp.float64(tree.t[P]), jnp.float64(tree.t[X]),
+            jnp.float64(lam_X), p["msite"][X], p["mfrom"][X], p["mto"][X],
+            p["mt"][X], p["mcount"][X], jnp.float64(evo.mu),
+            jnp.asarray(np.asarray(evo.nu, dtype=np.float64)), qtab, qatab,
+            part))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_log_alpha_mut_matches_host_graft():
+    from delphy_tpu.topo.graft import SprContext
+    tree, rng = _no_miss_tree(seed=11)
+    evo = _evo(tree.num_sites, rng)
+    ctx = SprContext(tree, float(evo.mu), np.asarray(evo.nu),
+                     np.asarray(evo.q), np.asarray(evo.pi))
+    L = tree.num_sites
+    checked = 0
+    for X in range(tree.num_nodes):
+        if X == tree.root or int(tree.parent[X]) == tree.root:
+            continue
+        ctx.begin_move()
+        g = ctx.analyze_graft(X)
+        if g.rooty or len(g.branch_infos) != 1:
+            continue
+        bi = g.branch_infos[0]
+        mu_prop = ctx.mu_proposal
+        got = float(log_alpha_mut(
+            jnp.float64(L), jnp.float64(bi.T_to_X),
+            jnp.float64(len(bi.hot_muts_to_X)),
+            jnp.float64(len(bi.hot_deltas_to_X)), jnp.float64(mu_prop)))
+        np.testing.assert_allclose(got, g.log_alpha_mut, rtol=1e-12)
+        checked += 1
+    assert checked >= 5
