@@ -217,3 +217,144 @@ def log_alpha_mut(L, T, M, d, mu_prop):
     P_AC = -0.25 * jnp.expm1(-4.0 / 3.0 * mu_prop * T)
     out -= ((L - d) * jnp.log1p(-3.0 * P_AC) + d * jnp.log(P_AC))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Path delta composition (site_deltas.h:42-157) as fixed-shape kernels
+# ---------------------------------------------------------------------------
+
+D_MAX = 192   # event-buffer slots for a through-root path composition
+P_MAX = 96    # max path depth
+
+
+@jax.jit
+def compose_events(site, frm, to, valid):
+    """Compose an ordered event sequence into per-site deltas: per site,
+    from = first event's from, to = last event's to; identity pairs dropped
+    (site_deltas.push_back chains).  Inputs are order-stamped by position;
+    invalid slots have site < 0.  Returns (sites, froms, tos, count) sorted
+    by site, padded with -1.
+
+    All scatters use UNIQUE indices (one first / one last per site group):
+    XLA scatter-set gives no ordering guarantee under duplicates."""
+    D = site.shape[0]
+    stamp = jnp.arange(D)
+    key = jnp.where(valid, site.astype(jnp.int64), jnp.int64(2 ** 40)) \
+        * (2 * D) + stamp
+    o = jnp.argsort(key)
+    s, f, t_, v = site[o], frm[o], to[o], valid[o]
+    prev_s = jnp.concatenate([jnp.full(1, -2, s.dtype), s[:-1]])
+    next_s = jnp.concatenate([s[1:], jnp.full(1, -2, s.dtype)])
+    is_first = v & (s != prev_s)
+    is_last = v & (s != next_s)
+    gid = jnp.cumsum(is_first) - 1
+    sink = D  # one spare slot as the scatter sink for masked writes
+    idx_first = jnp.where(is_first, gid, sink)
+    idx_last = jnp.where(is_last, gid, sink)
+    g_site = jnp.full(D + 1, -1, s.dtype).at[idx_first].set(s)[:D]
+    g_from = jnp.zeros(D + 1, f.dtype).at[idx_first].set(f)[:D]
+    g_to = jnp.zeros(D + 1, t_.dtype).at[idx_last].set(t_)[:D]
+    n_groups = jnp.sum(is_first)
+    keep = (jnp.arange(D) < n_groups) & (g_from != g_to) & (g_site >= 0)
+    # compact kept entries to the front (stable, site order preserved)
+    o2 = jnp.argsort(~keep, stable=True)
+    out_s = jnp.where(jnp.arange(D) < jnp.sum(keep), g_site[o2], -1)
+    out_f = g_from[o2]
+    out_t = g_to[o2]
+    return out_s, out_f, out_t, jnp.sum(keep).astype(jnp.int32)
+
+
+def _collect_up(p, b0, t0, inverse: bool, buf, n, ok):
+    """Walk b0 -> root appending each branch's mutations (first branch
+    time-filtered at t0; reverse-time order when inverse)."""
+    msite, mfrom, mto, mt = p["msite"], p["mfrom"], p["mto"], p["mt"]
+    mcount, parent = p["mcount"], p["parent"]
+    W = msite.shape[1]
+    bs, bf, bt = buf
+
+    def cond(c):
+        cur, first, n, bs, bf, bt, ok = c
+        return cur >= 0
+
+    def body(c):
+        cur, first, n, bs, bf, bt, ok = c
+        idx = jnp.arange(W)
+        sel = (idx < mcount[cur]) & (~first | (mt[cur] <= t0))
+        cnt = jnp.sum(sel).astype(jnp.int32)
+        r = jnp.cumsum(sel) - 1
+        rank = jnp.where(jnp.bool_(inverse), cnt - 1 - r, r)
+        pos = jnp.where(sel, n + rank, D_MAX - 1)
+        ok = ok & (n + cnt <= D_MAX)
+        write = sel & (n + rank < D_MAX)
+        pos = jnp.clip(pos, 0, D_MAX - 1)
+        if inverse:
+            bs = bs.at[pos].set(jnp.where(write, msite[cur], bs[pos]))
+            bf = bf.at[pos].set(jnp.where(write, mto[cur], bf[pos]))
+            bt = bt.at[pos].set(jnp.where(write, mfrom[cur], bt[pos]))
+        else:
+            bs = bs.at[pos].set(jnp.where(write, msite[cur], bs[pos]))
+            bf = bf.at[pos].set(jnp.where(write, mfrom[cur], bf[pos]))
+            bt = bt.at[pos].set(jnp.where(write, mto[cur], bt[pos]))
+        return parent[cur], jnp.bool_(False), n + cnt, bs, bf, bt, ok
+
+    cur, first, n, bs, bf, bt, ok = jax.lax.while_loop(
+        cond, body, (b0, jnp.bool_(True), n, bs, bf, bt, ok))
+    return (bs, bf, bt), n, ok
+
+
+@jax.jit
+def deltas_between_dev(p, ba, ta, bb, tb):
+    """Device twin of site_deltas.deltas_between: per-site deltas between
+    tree points (ba, ta) and (bb, tb), composed through the root.  Returns
+    (sites, froms, tos, count, ok) with ok=False on buffer overflow."""
+    bs = jnp.full(D_MAX, -1, jnp.int32)
+    bf = jnp.zeros(D_MAX, jnp.int32)
+    bt = jnp.zeros(D_MAX, jnp.int32)
+    n = jnp.int32(0)
+    ok = jnp.bool_(True)
+    # a -> root: inverse mutations in reverse-time order per branch
+    (bs, bf, bt), n, ok = _collect_up(p, ba, ta, True, (bs, bf, bt), n, ok)
+
+    # root -> b: forward, top-down.  Collect the path first.
+    parent = p["parent"]
+    path = jnp.full(P_MAX, -1, jnp.int32)
+
+    def cond2(c):
+        cur, i, path, ok = c
+        return cur >= 0
+
+    def body2(c):
+        cur, i, path, ok = c
+        path = path.at[jnp.clip(i, 0, P_MAX - 1)].set(cur)
+        ok = ok & (i < P_MAX)
+        return parent[cur], i + 1, path, ok
+
+    _, pl, path, ok = jax.lax.while_loop(
+        cond2, body2, (bb, jnp.int32(0), path, ok))
+
+    msite, mfrom, mto, mt = p["msite"], p["mfrom"], p["mto"], p["mt"]
+    mcount = p["mcount"]
+    W = msite.shape[1]
+
+    def body3(i, c):
+        n, bs, bf, bt, ok = c
+        lvl = pl - 1 - i
+        cur = path[jnp.clip(lvl, 0, P_MAX - 1)]
+        use = (i < pl)
+        last = (i == pl - 1)
+        idx = jnp.arange(W)
+        sel = use & (idx < mcount[cur]) & (~last | (mt[cur] <= tb))
+        cnt = jnp.sum(sel).astype(jnp.int32)
+        rank = jnp.cumsum(sel) - 1
+        pos = jnp.clip(jnp.where(sel, n + rank, D_MAX - 1), 0, D_MAX - 1)
+        ok = ok & (n + cnt <= D_MAX)
+        write = sel & (n + rank < D_MAX)
+        bs = bs.at[pos].set(jnp.where(write, msite[cur], bs[pos]))
+        bf = bf.at[pos].set(jnp.where(write, mfrom[cur], bf[pos]))
+        bt = bt.at[pos].set(jnp.where(write, mto[cur], bt[pos]))
+        return n + cnt, bs, bf, bt, ok
+
+    n, bs, bf, bt, ok = jax.lax.fori_loop(0, P_MAX, body3,
+                                          (n, bs, bf, bt, ok))
+    s, f, t_, cnt = compose_events(bs, bf, bt, jnp.arange(D_MAX) < n)
+    return s, f, t_, cnt, ok

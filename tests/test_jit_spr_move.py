@@ -128,3 +128,28 @@ def test_log_alpha_mut_matches_host_graft():
         np.testing.assert_allclose(got, g.log_alpha_mut, rtol=1e-12)
         checked += 1
     assert checked >= 5
+
+
+def test_deltas_between_dev_matches_host():
+    from delphy_tpu.topo import site_deltas as sd
+    from delphy_tpu.ops.spr_move import deltas_between_dev
+
+    tree, rng = _no_miss_tree(T=14, L=120, seed=13)
+    p = pack_tree(tree)
+    checked = 0
+    for trial in range(30):
+        ba = int(rng.integers(0, tree.num_nodes))
+        bb = int(rng.integers(0, tree.num_nodes))
+        if ba == tree.root or bb == tree.root:
+            continue
+        ta = float(rng.uniform(tree.t[int(tree.parent[ba])], tree.t[ba]))
+        tb = float(rng.uniform(tree.t[int(tree.parent[bb])], tree.t[bb]))
+        want = sd.deltas_between(tree, (ba, ta), (bb, tb))
+        s, f, t_, cnt, ok = deltas_between_dev(
+            p, jnp.int32(ba), jnp.float64(ta), jnp.int32(bb),
+            jnp.float64(tb))
+        assert bool(ok)
+        got = {int(s[i]): (int(f[i]), int(t_[i])) for i in range(int(cnt))}
+        assert got == want, (trial, ba, bb, got, want)
+        checked += 1
+    assert checked >= 15
