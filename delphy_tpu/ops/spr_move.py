@@ -358,3 +358,128 @@ def deltas_between_dev(p, ba, ta, bb, tb):
                                           (n, bs, bf, bt, ok))
     s, f, t_, cnt = compose_events(bs, bf, bt, jnp.arange(D_MAX) < n)
     return s, f, t_, cnt, ok
+
+
+# ---------------------------------------------------------------------------
+# Device study pipeline: padded rows -> region arrays -> flood -> rewrites
+# (the jit counterpart of ops/spr_study.bounded_spr_study's host wrapper)
+# ---------------------------------------------------------------------------
+
+from . import spr_study as _study  # noqa: E402
+from . import history as _hist     # noqa: E402
+
+
+def study_regions(p, X, t_X, d0_site, d0_t0, d0_cnt, seed_branch):
+    """Bounded (<=1 crossing) study on the padded tree, seeded at region
+    (seed_branch, 0) with |d0| deltas: returns per-region arrays in
+    POST-DETACH coordinates (branch, mut_idx, above, t_min, t_max, mm,
+    t_S, alive) over the static region space R = N*W + N + 1 (slot R-1 is
+    the scatter sink).  Missation-free: every mutation crossing is counted.
+    """
+    parent, children, t = p["parent"], p["children"], p["t"]
+    msite, mt = p["msite"], p["mt"]
+    mfrom, mto = p["mfrom"], p["mto"]
+    mcount = p["mcount"]
+    N, W = msite.shape
+    MC = N * W
+    R = MC + N + 1
+    root = p["root"]
+
+    moff = jnp.concatenate([jnp.zeros(1, mcount.dtype), jnp.cumsum(mcount)])
+    rid_base = moff[:N] + jnp.arange(N, dtype=moff.dtype)
+
+    # flat mutation arrays (CSR by branch, time order within branch)
+    rows = jnp.repeat(jnp.arange(N), W).reshape(N, W)
+    cols = jnp.tile(jnp.arange(W), N).reshape(N, W)
+    valid = cols < mcount[:, None]
+    flat_pos = jnp.where(valid, moff[:N][:, None] + cols, MC)
+    fsite = jnp.full(MC + 1, -1, jnp.int32).at[flat_pos].set(
+        jnp.where(valid, msite, -1))[:MC]
+    ffrom = jnp.zeros(MC + 1, jnp.int32).at[flat_pos].set(
+        jnp.where(valid, mfrom, 0))[:MC]
+    fto = jnp.zeros(MC + 1, jnp.int32).at[flat_pos].set(
+        jnp.where(valid, mto, 0))[:MC]
+    ft = jnp.full(MC + 1, jnp.inf).at[flat_pos].set(
+        jnp.where(valid, mt, jnp.inf))[:MC]
+    fbranch = jnp.zeros(MC + 1, jnp.int32).at[flat_pos].set(
+        jnp.where(valid, rows, 0))[:MC]
+    j_valid = jnp.arange(MC) < moff[N]
+
+    r_above = jnp.where(j_valid,
+                        jnp.arange(MC) + fbranch, R - 1).astype(jnp.int32)
+    counted = j_valid  # no missations: every real mutation is counted
+
+    # junction pairs; detached/floating nodes (parent < 0) and the root get
+    # the sink
+    jb = jnp.arange(N)
+    jp = parent[jb]
+    j_ok = (jb != root) & (jp >= 0)
+    jp_c = jnp.clip(jp, 0, N - 1)
+    jr_child = jnp.where(j_ok, rid_base[jb], R - 1).astype(jnp.int32)
+    jr_parent = jnp.where(j_ok, rid_base[jp_c] + mcount[jp_c],
+                          R - 1).astype(jnp.int32)
+
+    # composition-effect arrays for the single counted crossing (d0_site is
+    # sorted among its first d0_cnt entries; -1 pads would sort FIRST, so
+    # re-pad to a huge sentinel for the search)
+    d0s_srch = jnp.where(jnp.arange(d0_site.shape[0]) < d0_cnt,
+                         d0_site, jnp.int32(2 ** 30))
+    dpos = jnp.searchsorted(d0s_srch, fsite)
+    dpos_c = jnp.clip(dpos, 0, d0_site.shape[0] - 1)
+    hit = (dpos < d0_cnt) & (d0_site[dpos_c] == fsite) & j_valid
+    t0 = d0_t0[dpos_c]
+    d_down = jnp.where(hit, jnp.where(fto == t0, -1, 0), 1).astype(jnp.int32)
+    d_up = jnp.where(hit, jnp.where(ffrom == t0, -1, 0), 1).astype(jnp.int32)
+
+    seed_rid = rid_base[seed_branch].astype(jnp.int32)
+    excl_lo = rid_base[X].astype(jnp.int32)
+    excl_hi = (rid_base[X] + mcount[X]).astype(jnp.int32)
+    reach0, reach1, vmm1 = _study._bounded_flood(
+        R, seed_rid, excl_lo, excl_hi, r_above, counted, jr_parent,
+        jr_child, d0_cnt.astype(jnp.int32), d_down, d_up)
+
+    # region arrays over R
+    rid = jnp.arange(R)
+    rb = (jnp.searchsorted(rid_base, rid, side="right") - 1).astype(jnp.int32)
+    rb_c = jnp.clip(rb, 0, N - 1)
+    ridx = (rid - rid_base[rb_c]).astype(jnp.int32)
+    in_range = (rid < MC + N) & (ridx >= 0) & (ridx <= mcount[rb_c])
+    alive = (reach0 | reach1) & in_range
+    mm = jnp.where(reach0, d0_cnt.astype(jnp.int32), vmm1)
+
+    j_lo = jnp.clip(moff[rb_c] + ridx - 1, 0, MC - 1)
+    j_hi = jnp.clip(moff[rb_c] + ridx, 0, MC - 1)
+    pb = jnp.clip(parent[rb_c], 0, N - 1)
+    t_min = jnp.where(ridx == 0, t[pb], ft[j_lo])
+    t_max = jnp.where(ridx == mcount[rb_c], t[rb_c], ft[j_hi])
+    is_root_b = rb_c == root
+    t_min = jnp.where(is_root_b, -jnp.inf, t_min)
+    t_max = jnp.where(is_root_b, t[root], t_max)
+
+    # ---- detachment accounting (spr_study.cpp:130-208), inner/no-root-change
+    # variant: regions on the root branch are dropped (can_change_root=False)
+    P = parent[X]
+    c0, c1 = children[P, 0], children[P, 1]
+    S = jnp.where(c0 == X, c1, c0)
+    nmGP = mcount[P]
+    drop = alive & (rb_c == root)
+    on_S = alive & (rb_c == S)
+    on_P = alive & (rb_c == P)
+    # P != root here (inner restriction).  S regions: idx += nmGP; idx==0
+    # additionally inherits region_t_min(P, nmGP)
+    gpb = jnp.clip(parent[P], 0, N - 1)
+    tmin_P_last = jnp.where(nmGP == 0, t[gpb],
+                            ft[jnp.clip(moff[P] + nmGP - 1, 0, MC - 1)])
+    t_min = jnp.where(on_S & (ridx == 0), tmin_P_last, t_min)
+    ridx = jnp.where(on_S, ridx + nmGP, ridx)
+    # P regions: idx == nmGP dropped, others become S-branch regions
+    drop = drop | (on_P & (ridx == nmGP))
+    rb_c = jnp.where(on_P & (ridx != nmGP), S, rb_c)
+    alive = alive & ~drop
+    # t_X future trim
+    alive = alive & (t_min < t_X)
+    t_max = jnp.minimum(t_max, t_X)
+
+    return dict(branch=rb_c, mut_idx=ridx, above=jnp.zeros(R, bool),
+                t_min=t_min, t_max=t_max, mm=mm.astype(jnp.float64),
+                t_S=t[rb_c], alive=alive)

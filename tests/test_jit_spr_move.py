@@ -153,3 +153,62 @@ def test_deltas_between_dev_matches_host():
         assert got == want, (trial, ba, bb, got, want)
         checked += 1
     assert checked >= 15
+
+
+def test_study_regions_matches_host_peeled_builder():
+    """study_regions (padded tree -> flood -> detachment rewrites) equals
+    the host builder run exactly as mixer._spr1 does: analyze + peel, then
+    seed at (old_S, 0) with the closed deltas, can_change_root=False."""
+    from delphy_tpu.topo.graft import SprContext
+    from delphy_tpu.topo.mixer import TopologyMixer
+    from delphy_tpu.ops.spr_move import study_regions, compose_events
+    from delphy_tpu.topo.study import SprStudyBuilder
+
+    tree, rng = _no_miss_tree(T=14, L=150, seed=17)
+    evo = _evo(tree.num_sites, rng)
+
+    checked = 0
+    for trial in range(25):
+        work = tree.copy()
+        ctx = SprContext(work, float(evo.mu), np.asarray(evo.nu),
+                         np.asarray(evo.q), np.asarray(evo.pi),
+                         can_change_root=False)
+        X = int(rng.integers(0, work.num_nodes))
+        if X == work.root or int(work.parent[X]) == work.root:
+            continue
+        P = int(work.parent[X])
+        a, b = work.children[P]
+        S = int(b) if int(a) == X else int(a)
+        t_X = float(work.t[X])
+
+        ctx.begin_move()
+        g = ctx.analyze_graft(X)
+        ctx.peel_graft(g)
+        d0 = TopologyMixer._summarize_closed(ctx, g)
+        builder = SprStudyBuilder(work, X, t_X, set(), max_muts_from_start=1)
+        builder.seed_fill_from(S, 0, d0, False)
+        host = sorted((r.branch, r.mut_idx, round(r.t_min, 10),
+                       round(r.t_max, 10), r.min_muts)
+                      for r in builder.result)
+
+        # device: pack the PRE-peel tree; d0 from the composed X row
+        p = pack_tree(tree)
+        W = int(np.asarray(p["msite"]).shape[1])
+        ds, df, dt_, dc = compose_events(
+            p["msite"][X], p["mfrom"][X], p["mto"][X],
+            jnp.arange(W) < p["mcount"][X])
+        assert {int(ds[i]): (int(df[i]), int(dt_[i]))
+                for i in range(int(dc))} == d0
+        reg = study_regions(p, jnp.int32(X), jnp.float64(t_X),
+                            ds, dt_, dc, jnp.int32(S))
+        alive = np.asarray(reg["alive"])
+        got = sorted(
+            (int(np.asarray(reg["branch"])[r]),
+             int(np.asarray(reg["mut_idx"])[r]),
+             round(float(np.asarray(reg["t_min"])[r]), 10),
+             round(float(np.asarray(reg["t_max"])[r]), 10),
+             int(np.asarray(reg["mm"])[r]))
+            for r in np.nonzero(alive)[0])
+        assert got == host, (trial, X, S, len(got), len(host))
+        checked += 1
+    assert checked >= 10
