@@ -124,8 +124,10 @@ def detach(p, X):
     children = children.at[G, 1].set(jnp.where(children[G, 1] == P, S,
                                                children[G, 1]))
     parent = parent.at[S].set(G)
-    # neutralize P so path walks cannot route through it
+    # neutralize P so path walks cannot route through it and the region
+    # space stays clean
     parent = parent.at[P].set(jnp.int32(-1))
+    mcount = mcount.at[P].set(0)
     pd = dict(parent=parent, children=children, t=t, mcount=mcount,
               msite=msite, mfrom=mfrom, mto=mto, mt=mt, root=p["root"])
     return pd, S, P
@@ -273,11 +275,11 @@ def _collect_up(p, b0, t0, inverse: bool, buf, n, ok):
     bs, bf, bt = buf
 
     def cond(c):
-        cur, first, n, bs, bf, bt, ok = c
-        return cur >= 0
+        cur, first, n, bs, bf, bt, ok, steps = c
+        return (cur >= 0) & (steps < P_MAX)
 
     def body(c):
-        cur, first, n, bs, bf, bt, ok = c
+        cur, first, n, bs, bf, bt, ok, steps = c
         idx = jnp.arange(W)
         sel = (idx < mcount[cur]) & (~first | (mt[cur] <= t0))
         cnt = jnp.sum(sel).astype(jnp.int32)
@@ -295,10 +297,12 @@ def _collect_up(p, b0, t0, inverse: bool, buf, n, ok):
             bs = bs.at[pos].set(jnp.where(write, msite[cur], bs[pos]))
             bf = bf.at[pos].set(jnp.where(write, mfrom[cur], bf[pos]))
             bt = bt.at[pos].set(jnp.where(write, mto[cur], bt[pos]))
-        return parent[cur], jnp.bool_(False), n + cnt, bs, bf, bt, ok
+        return (parent[cur], jnp.bool_(False), n + cnt, bs, bf, bt, ok,
+                steps + 1)
 
-    cur, first, n, bs, bf, bt, ok = jax.lax.while_loop(
-        cond, body, (b0, jnp.bool_(True), n, bs, bf, bt, ok))
+    cur, first, n, bs, bf, bt, ok, steps = jax.lax.while_loop(
+        cond, body, (b0, jnp.bool_(True), n, bs, bf, bt, ok, jnp.int32(0)))
+    ok = ok & (cur < 0)  # walk actually reached the root
     return (bs, bf, bt), n, ok
 
 
@@ -321,7 +325,7 @@ def deltas_between_dev(p, ba, ta, bb, tb):
 
     def cond2(c):
         cur, i, path, ok = c
-        return cur >= 0
+        return (cur >= 0) & (i < P_MAX)
 
     def body2(c):
         cur, i, path, ok = c
@@ -483,3 +487,238 @@ def study_regions(p, X, t_X, d0_site, d0_t0, d0_cnt, seed_branch):
     return dict(branch=rb_c, mut_idx=ridx, above=jnp.zeros(R, bool),
                 t_min=t_min, t_max=t_max, mm=mm.astype(jnp.float64),
                 t_S=t[rb_c], alive=alive)
+
+
+# ---------------------------------------------------------------------------
+# The full jitted SPR1 move
+# ---------------------------------------------------------------------------
+
+H_D = 96    # delta-site history slots
+H_RT = 24   # round-trip-site history slots
+
+
+def _state_at_dev(p, ref_seq, branch, t0, site):
+    """State of `site` at point (branch, t0): latest mutation at/above wins
+    (site_deltas.state_at).  Scalar site; bounded root walk."""
+    msite, mto, mt = p["msite"], p["mto"], p["mt"]
+    mcount, parent = p["mcount"], p["parent"]
+    W = msite.shape[1]
+
+    def cond(c):
+        cur, first, found, s, steps = c
+        return (cur >= 0) & ~found & (steps < P_MAX)
+
+    def body(c):
+        cur, first, found, s, steps = c
+        idx = jnp.arange(W)
+        sel = (idx < mcount[cur]) & (msite[cur] == site) & \
+            (~first | (mt[cur] <= t0))
+        any_ = jnp.any(sel)
+        last = jnp.argmax(jnp.where(sel, idx, -1))
+        s = jnp.where(any_, mto[cur][last], s)
+        return parent[cur], jnp.bool_(False), any_, s, steps + 1
+
+    _, _, found, s, _ = jax.lax.while_loop(
+        cond, body,
+        (branch, jnp.bool_(True), jnp.bool_(False),
+         ref_seq[jnp.maximum(site, 0)].astype(jnp.int32), jnp.int32(0)))
+    return s
+
+
+def _lambda_at_dev(p, X, lambda_ref, mu, nu, qatab, part):
+    """lambda at node X: lambda_ref + per-branch mutation adjustments along
+    the root path (phylo_tree_calc.h:107-155, missation-free)."""
+    msite, mfrom, mto = p["msite"], p["mfrom"], p["mto"]
+    mcount, parent = p["mcount"], p["parent"]
+    W = msite.shape[1]
+
+    def cond(c):
+        cur, acc, steps = c
+        return (cur >= 0) & (steps < P_MAX)
+
+    def body(c):
+        cur, acc, steps = c
+        idx = jnp.arange(W)
+        sel = idx < mcount[cur]
+        s = jnp.maximum(msite[cur], 0)
+        d = mu * nu[s] * (qatab[part[s] * 4 + mto[cur]]
+                          - qatab[part[s] * 4 + mfrom[cur]])
+        return parent[cur], acc + jnp.sum(jnp.where(sel, d, 0.0)), steps + 1
+
+    _, acc, _ = jax.lax.while_loop(cond, body, (X, 0.0, jnp.int32(0)))
+    return lambda_ref + acc
+
+
+@partial(jax.jit, static_argnames=("L",))
+def spr1_step(key, p, ref_seq, L: int, mu, nu, qtab, qatab, part,
+              lambda_ref, t_max_tip, f=0.8):
+    """One jitted SPR1 move (missation-free, inner, no root change).
+
+    Mirrors mixer._spr1 / subrun.cpp:492-675 move-structure: pick X,
+    bounded study + annealed weights pick (branch, time), JC history
+    proposal, MH with the forward/reverse study densities and the
+    closed-branch proposal densities; coalescent term is left to the
+    caller (flat here).  Returns (p_out, accepted, delta_log_G, eligible).
+    """
+    parent, children, t = p["parent"], p["children"], p["t"]
+    N = parent.shape[0]
+    W = p["msite"].shape[1]
+    root = p["root"]
+    kx, kreg, ktime, krt, kd, krt2, kmh = jax.random.split(key, 7)
+
+    X = jax.random.randint(kx, (), 0, N, dtype=jnp.int32)
+    P0 = parent[jnp.clip(X, 0, N - 1)]
+    eligible = (X != root) & (P0 >= 0) & (P0 != root)
+    Xc = jnp.where(eligible, X, jnp.int32(0))
+    P = jnp.clip(parent[Xc], 0, N - 1)
+    eligible = eligible & (parent[Xc] >= 0) & (parent[Xc] != root)
+    c0, c1 = children[P, 0], children[P, 1]
+    S = jnp.where(c0 == Xc, c1, c0)
+    t_X = t[Xc]
+    t_P_old = t[P]
+
+    lam_X = _lambda_at_dev(p, Xc, lambda_ref, mu, nu, qatab, part)
+    eligible = eligible & (lam_X > 0.0)
+    mu_prop = lam_X / L
+
+    # old graft terms
+    M_old = p["mcount"][Xc]
+    dG_old = branch_log_G(t_P_old, t_X, lam_X, p["msite"][Xc],
+                          p["mfrom"][Xc], p["mto"][Xc], p["mt"][Xc],
+                          M_old, mu, nu, qtab, qatab, part)
+    d0s, d0f, d0t, d0c = compose_events(
+        p["msite"][Xc], p["mfrom"][Xc], p["mto"][Xc],
+        jnp.arange(W) < M_old)
+    alpha_old = log_alpha_mut(jnp.float64(L), t_X - t_P_old,
+                              M_old.astype(jnp.float64),
+                              d0c.astype(jnp.float64), mu_prop)
+
+    # forward study (pre-detach coordinates; rewrites give post-detach ids)
+    reg = study_regions(p, Xc, t_X, d0s, d0t, d0c, S)
+    lw = _study.study_log_weights(reg, lam_X, f, t_X, t_max_tip, mu_prop)
+    lw = jnp.where(reg["alive"], lw, -jnp.inf)
+    eligible = eligible & jnp.any(jnp.isfinite(lw))
+    u_reg = jax.random.uniform(kreg, (), dtype=jnp.float64)
+    i_fwd = _study.pick_nexus_region(u_reg, lw)
+    new_S = reg["branch"][i_fwd]
+    u_t = jax.random.uniform(ktime, (), dtype=jnp.float64)
+    t_new = _study.pick_time_in_region(u_t, i_fwd, reg, lam_X, f, t_X,
+                                       t_max_tip)
+    eligible = eligible & (t_new < t_X) & (t_new > reg["t_min"][i_fwd])
+    alpha_fwd = _study.log_alpha_in_region(i_fwd, t_new, lw, reg, lam_X, f,
+                                           t_X, t_max_tip)
+
+    # detach; required deltas for the new branch
+    p_det, S_det, Pf = detach(p, Xc)
+    bs, bf2, bt2, bc, ok = deltas_between_dev(p_det, new_S, t_new, S_det,
+                                              t_P_old)
+    # compose with d0 (order: new->old path deltas, then old->X deltas)
+    cat_s = jnp.concatenate([
+        jnp.where(jnp.arange(bs.shape[0]) < bc, bs, -1),
+        jnp.where(jnp.arange(d0s.shape[0]) < d0c, d0s, -1)])
+    cat_f = jnp.concatenate([bf2, d0f])
+    cat_t = jnp.concatenate([bt2, d0t])
+    nds, ndf, ndt, ndc = compose_events(cat_s, cat_f, cat_t, cat_s >= 0)
+    ok = ok & (ndc <= H_D)
+
+    # histories for delta sites
+    T_new = t_X - t_new
+    hidx = jnp.arange(H_D)
+    h_active = hidx < ndc
+    h_frm = jnp.where(h_active, ndf[:H_D], 0)
+    h_to = jnp.where(h_active, ndt[:H_D], 1)
+    dkeys = jax.random.split(kd, H_D)
+    k_d, st_d, tm_d = jax.vmap(
+        lambda kk, a, b: _hist.sample_site_history(kk, a, b, T_new, mu_prop,
+                                                   min_k=1))(
+        dkeys, h_frm, h_to)
+
+    # round-trip sites (not delta sites)
+    rt_mask = _hist.sample_roundtrip_mask(krt, L, T_new, mu_prop)
+    DN = nds.shape[0]
+    nd_pad = jnp.where(jnp.arange(DN) < ndc, nds, jnp.int32(2 ** 30))
+    sit = jnp.arange(L)
+    pos = jnp.searchsorted(nd_pad, sit)
+    pos_c = jnp.clip(pos, 0, DN - 1)
+    is_delta = (pos < ndc) & (nd_pad[pos_c] == sit)
+    rt_mask = rt_mask & ~is_delta
+    n_rt = jnp.sum(rt_mask).astype(jnp.int32)
+    ok = ok & (n_rt <= H_RT)
+    rt_sites = jnp.where(jnp.arange(H_RT) < n_rt,
+                         jnp.argsort(~rt_mask, stable=True)[:H_RT],
+                         -1).astype(jnp.int32)
+    rt_active = jnp.arange(H_RT) < n_rt
+    rt_state = jax.vmap(
+        lambda st: _state_at_dev(p_det, ref_seq, new_S, t_new,
+                                 jnp.maximum(st, 0)))(rt_sites)
+    rkeys = jax.random.split(krt2, H_RT)
+    k_r, st_r, tm_r = jax.vmap(
+        lambda kk, s: _hist.sample_site_history(kk, s, s, T_new, mu_prop,
+                                                min_k=2))(
+        rkeys, jnp.where(rt_active, rt_state, 0))
+
+    # assemble the new branch row (global time order)
+    KM = _hist.KMAX
+    ev_site = jnp.concatenate([
+        jnp.repeat(jnp.where(h_active, nds[:H_D], -1), KM),
+        jnp.repeat(rt_sites, KM)])
+    ev_in_k = jnp.concatenate([
+        (jnp.arange(H_D * KM) % KM) < jnp.repeat(k_d, KM),
+        (jnp.arange(H_RT * KM) % KM) < jnp.repeat(k_r, KM)])
+    ev_act = jnp.concatenate([jnp.repeat(h_active, KM),
+                              jnp.repeat(rt_active, KM)]) & ev_in_k \
+        & (ev_site >= 0)
+    ev_to = jnp.concatenate([st_d.reshape(-1), st_r.reshape(-1)])
+    # chain froms: previous state in the chain (frm for slot 0)
+    prev_d = jnp.concatenate(
+        [h_frm[:, None], st_d[:, :-1]], axis=1).reshape(-1)
+    prev_r = jnp.concatenate(
+        [jnp.where(rt_active, rt_state, 0)[:, None], st_r[:, :-1]],
+        axis=1).reshape(-1)
+    ev_from = jnp.concatenate([prev_d, prev_r])
+    ev_t = jnp.concatenate([tm_d.reshape(-1), tm_r.reshape(-1)]) + t_X
+    M_new = jnp.sum(ev_act).astype(jnp.int32)
+    ok = ok & (M_new <= W)
+    o = jnp.argsort(jnp.where(ev_act, ev_t, jnp.inf))
+    take = jnp.arange(W)
+    row_site = jnp.where(take < M_new, ev_site[o[:W]], -1).astype(jnp.int32)
+    row_from = jnp.where(take < M_new, ev_from[o[:W]], 0).astype(jnp.int32)
+    row_to = jnp.where(take < M_new, ev_to[o[:W]], 0).astype(jnp.int32)
+    row_t = jnp.where(take < M_new, ev_t[o[:W]], jnp.inf)
+
+    dG_new = branch_log_G(t_new, t_X, lam_X, row_site, row_from, row_to,
+                          row_t, M_new, mu, nu, qtab, qatab, part)
+    alpha_new = log_alpha_mut(jnp.float64(L), T_new,
+                              M_new.astype(jnp.float64),
+                              ndc.astype(jnp.float64), mu_prop)
+
+    p_new = attach(p_det, Xc, Pf, new_S, t_new, row_site, row_from, row_to,
+                   row_t, M_new)
+
+    # reverse study on the post-move tree, seeded at the new sibling
+    reg_r = study_regions(p_new, Xc, t_X, nds, ndt, ndc, new_S)
+    lw_r = _study.study_log_weights(reg_r, lam_X, f, t_X, t_max_tip,
+                                    mu_prop)
+    lw_r = jnp.where(reg_r["alive"], lw_r, -jnp.inf)
+    hit_old = (reg_r["alive"] & (reg_r["branch"] == S_det)
+               & (reg_r["t_min"] < t_P_old) & (t_P_old <= reg_r["t_max"]))
+    i_rev = jnp.argmax(hit_old)
+    found_rev = jnp.any(hit_old)
+    alpha_rev = _study.log_alpha_in_region(i_rev, t_P_old, lw_r, reg_r,
+                                           lam_X, f, t_X, t_max_tip)
+
+    log_mh = ((dG_new - alpha_new) - (dG_old - alpha_old)
+              + alpha_rev - alpha_fwd)
+    u = jax.random.uniform(kmh, (), dtype=jnp.float64)
+    accept = (eligible & ok & found_rev
+              & ((log_mh >= 0.0) | (jnp.log(u) < log_mh)))
+
+    p_out = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(accept, (1,) * a.ndim), b, a) if a.ndim else
+        jnp.where(accept, b, a), p, p_new)
+    dlg = jnp.where(accept, dG_new - dG_old, 0.0)
+    diag = dict(eligible=eligible, ok=ok, found_rev=found_rev,
+                n_regions=jnp.sum(jnp.isfinite(lw)).astype(jnp.int32),
+                ndc=ndc, n_rt=n_rt, M_new=M_new, log_mh=log_mh)
+    return p_out, accept, dlg, eligible & ok, diag

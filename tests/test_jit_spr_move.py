@@ -212,3 +212,66 @@ def test_study_regions_matches_host_peeled_builder():
         assert got == host, (trial, X, S, len(got), len(host))
         checked += 1
     assert checked >= 10
+
+
+def test_jit_spr1_step_chain_ledger_and_integrity():
+    """Run a chain of jitted SPR1 moves: every accepted move's delta_log_G
+    must equal the oracle log_G difference exactly, the tree must stay
+    valid, tip data preserved, and some moves must accept."""
+    import jax
+    from delphy_tpu.ops.spr_move import spr1_step
+
+    # realistic per-site-per-day rate (pathogen-scale mu*T per branch ~0.1,
+    # cf. BASELINE configs): the proposal's delta/round-trip site counts
+    # then fit the kernel's H_D/H_RT slots with room to spare
+    MU = 4e-4
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        12, 300, mu=MU, missing_fraction=0.0, seed=19)
+    rng = np.random.default_rng(19)
+    tree = build_random_tree(ref, deltas, [[] for _ in range(12)], dates,
+                             names=names, rng=rng)
+    from delphy_tpu.evo import make_evo_params
+    evo = make_evo_params(tree.num_sites, mu=MU, kappa=2.0,
+                          pi=(0.3, 0.2, 0.3, 0.2),
+                          nu=rng.gamma(8.0, 1 / 8.0, size=tree.num_sites))
+    L = tree.num_sites
+    p = pack_tree(tree)  # auto W covers the root-delta row
+    ref_seq = jnp.asarray(np.asarray(tree.ref_seq, dtype=np.int32))
+    nu = jnp.asarray(np.asarray(evo.nu, dtype=np.float64))
+    part = jnp.asarray(np.asarray(evo.part, dtype=np.int64))
+    q3 = np.asarray(evo.q_tab, dtype=np.float64).reshape(-1, 4, 4)
+    qtab = jnp.asarray(q3.reshape(-1))
+    qatab = jnp.asarray(np.stack([-np.diag(q3[i]) for i in range(q3.shape[0])]
+                                 ).reshape(-1))
+    # lambda_ref = sum_l mu * nu_l * qa(l, ref_l)
+    ref_np = np.asarray(tree.ref_seq)
+    part_np = np.asarray(evo.part)
+    qa_np = np.stack([-np.diag(q3[i]) for i in range(q3.shape[0])])
+    lambda_ref = float(np.sum(float(evo.mu) * np.asarray(evo.nu)
+                              * qa_np[part_np, ref_np]))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:tree.num_tips]))
+
+    lg = _logG(tree, evo)
+    key = jax.random.PRNGKey(2)
+    n_acc = n_elig = 0
+    tip_seqs = [tree.sequence_at(i).copy() for i in range(tree.num_tips)]
+    for it in range(120):
+        key, k = jax.random.split(key)
+        p2, acc, dlg, elig, diag = spr1_step(
+            k, p, ref_seq, L, jnp.float64(evo.mu), nu, qtab, qatab, part,
+            jnp.float64(lambda_ref), jnp.float64(t_max_tip))
+        n_elig += int(elig)
+        if bool(acc):
+            n_acc += 1
+            back = unpack_tree(p2, tree)
+            back.check_integrity()
+            lg2 = _logG(back, evo)
+            np.testing.assert_allclose(lg2 - lg, float(dlg),
+                                       rtol=1e-9, atol=1e-9)
+            lg = lg2
+            # tip data preserved
+            for i in range(back.num_tips):
+                assert (back.sequence_at(i) == tip_seqs[i]).all(), i
+            p = p2
+    assert n_elig >= 40, n_elig
+    assert n_acc >= 5, n_acc
