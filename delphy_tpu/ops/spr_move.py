@@ -722,3 +722,24 @@ def spr1_step(key, p, ref_seq, L: int, mu, nu, qtab, qatab, part,
                 n_regions=jnp.sum(jnp.isfinite(lw)).astype(jnp.int32),
                 ndc=ndc, n_rt=n_rt, M_new=M_new, log_mh=log_mh)
     return p_out, accept, dlg, eligible & ok, diag
+
+
+@partial(jax.jit, static_argnames=("L", "n_moves"))
+def spr1_sweep(key, p, ref_seq, L: int, n_moves: int, mu, nu, qtab, qatab,
+               part, lambda_ref, t_max_tip, f=0.8):
+    """n_moves sequential SPR1 moves in ONE jit program (lax.scan) — the
+    production dispatch shape: a whole topology sweep per device program,
+    like the engine's multi-boundary local sweeps.  Returns
+    (p_out, n_accepted, total_delta_log_G, n_eligible)."""
+    def body(carry, k):
+        p, n_acc, dlg_tot, n_el = carry
+        p2, acc, dlg, elig = spr1_step(k, p, ref_seq, L, mu, nu, qtab,
+                                       qatab, part, lambda_ref, t_max_tip,
+                                       f)[:4]
+        return ((p2, n_acc + acc.astype(jnp.int32), dlg_tot + dlg,
+                 n_el + elig.astype(jnp.int32)), None)
+
+    keys = jax.random.split(key, n_moves)
+    (p, n_acc, dlg_tot, n_el), _ = jax.lax.scan(
+        body, (p, jnp.int32(0), jnp.float64(0.0), jnp.int32(0)), keys)
+    return p, n_acc, dlg_tot, n_el

@@ -275,3 +275,66 @@ def test_jit_spr1_step_chain_ledger_and_integrity():
             p = p2
     assert n_elig >= 40, n_elig
     assert n_acc >= 5, n_acc
+
+
+def test_jit_spr1_sweep_matches_stepwise():
+    """spr1_sweep (lax.scan of n moves in one program) equals the python
+    loop of spr1_step on the same keys, and its accumulated delta_log_G
+    matches the oracle recompute."""
+    import jax
+    from delphy_tpu.ops.spr_move import spr1_step, spr1_sweep
+
+    MU = 4e-4
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        10, 250, mu=MU, missing_fraction=0.0, seed=23)
+    rng = np.random.default_rng(23)
+    tree = build_random_tree(ref, deltas, [[] for _ in range(10)], dates,
+                             names=names, rng=rng)
+    from delphy_tpu.evo import make_evo_params
+    evo = make_evo_params(tree.num_sites, mu=MU, kappa=2.0,
+                          pi=(0.25,) * 4,
+                          nu=rng.gamma(8.0, 1 / 8.0, size=tree.num_sites))
+    L = tree.num_sites
+    p0 = pack_tree(tree)
+    ref_seq = jnp.asarray(np.asarray(tree.ref_seq, dtype=np.int32))
+    nu = jnp.asarray(np.asarray(evo.nu))
+    part = jnp.asarray(np.asarray(evo.part, dtype=np.int64))
+    q3 = np.asarray(evo.q_tab, dtype=np.float64).reshape(-1, 4, 4)
+    qtab = jnp.asarray(q3.reshape(-1))
+    qa_np = np.stack([-np.diag(q3[i]) for i in range(q3.shape[0])])
+    qatab = jnp.asarray(qa_np.reshape(-1))
+    lambda_ref = float(np.sum(MU * np.asarray(evo.nu)
+                              * qa_np[np.asarray(evo.part),
+                                      np.asarray(tree.ref_seq)]))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:10]))
+    args = (ref_seq, L, jnp.float64(MU), nu, qtab, qatab, part,
+            jnp.float64(lambda_ref), jnp.float64(t_max_tip))
+
+    key = jax.random.PRNGKey(9)
+    n = 48
+    p_sw, n_acc, dlg_tot, n_el = spr1_sweep(
+        key, p0, ref_seq, L, n, jnp.float64(MU), nu, qtab, qatab, part,
+        jnp.float64(lambda_ref), jnp.float64(t_max_tip))
+
+    # stepwise replay with the same key schedule
+    p = p0
+    dlg_sum = 0.0
+    acc_sum = 0
+    for k in jax.random.split(key, n):
+        p, acc, dlg, elig, _ = spr1_step(k, p, *args)
+        dlg_sum += float(dlg)
+        acc_sum += int(acc)
+    assert acc_sum == int(n_acc) and acc_sum >= 2
+    np.testing.assert_allclose(float(dlg_tot), dlg_sum, rtol=1e-12)
+    for name in ("parent", "children", "t", "mcount"):
+        np.testing.assert_array_equal(np.asarray(p_sw[name]),
+                                      np.asarray(p[name]))
+
+    # oracle: the accumulated delta equals the total log_G change
+    evo_ = evo
+    before = _logG(tree, evo_)
+    after_tree = unpack_tree(p_sw, tree)
+    after_tree.check_integrity()
+    after = _logG(after_tree, evo_)
+    np.testing.assert_allclose(after - before, float(dlg_tot),
+                               rtol=1e-9, atol=1e-9)
