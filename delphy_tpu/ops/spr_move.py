@@ -743,3 +743,228 @@ def spr1_sweep(key, p, ref_seq, L: int, n_moves: int, mu, nu, qtab, qatab,
     (p, n_acc, dlg_tot, n_el), _ = jax.lax.scan(
         body, (p, jnp.int32(0), jnp.float64(0.0), jnp.int32(0)), keys)
     return p, n_acc, dlg_tot, n_el
+
+
+def _straddling_mask(parent, t, anc, t_cut, X, root):
+    """Nodes whose branch straddles t_cut inside anc's subtree, excluding
+    X's subtree — the device form of enumerate_straddling (mixer.py; native
+    Mixer::enumerate_straddling): node n qualifies iff t[n] >= t_cut, every
+    ancestor strictly below anc has t < t_cut, n's ancestor chain passes
+    through anc, and the chain does not pass through X."""
+    N = parent.shape[0]
+
+    def body(i, c):
+        cur, in_anc, via_x, blocked = c
+        # walk one step up for every node simultaneously
+        at_anc = cur == anc
+        at_x = cur == X
+        in_anc = in_anc | at_anc
+        via_x = via_x | at_x
+        # a node is blocked if some strict ancestor below anc has t >= t_cut
+        nxt = jnp.where(cur >= 0, parent[jnp.maximum(cur, 0)], -1)
+        step_up = (cur >= 0) & ~at_anc
+        blocked = blocked | (step_up & (nxt >= 0) & (nxt != anc)
+                             & (t[jnp.maximum(nxt, 0)] >= t_cut))
+        cur = jnp.where(step_up, nxt, cur)
+        return cur, in_anc, via_x, blocked
+
+    n0 = jnp.arange(N)
+    cur = jnp.where(n0 == anc, -1, parent)  # start at each node's parent
+    # NB: we test ancestors BETWEEN the node and anc (exclusive); walk from
+    # the node's parent upward
+    in_anc = cur == anc
+    via_x = (n0 == X) | (cur == X)
+    blocked = (cur >= 0) & (cur != anc) & (t[jnp.maximum(cur, 0)] >= t_cut)
+    cur2, in_anc, via_x, blocked = jax.lax.fori_loop(
+        0, P_MAX, body, (cur, in_anc, via_x, blocked))
+    qualifies = (t[n0] >= t_cut) & in_anc & ~via_x & ~blocked & (n0 != X)
+    # anc itself qualifies when its branch straddles (host recursion base)
+    return qualifies
+
+
+@partial(jax.jit, static_argnames=("L",))
+def slide_step(key, p, ref_seq, L: int, mu, nu, qtab, qatab, part,
+               lambda_ref, t_max_tip):
+    """One jitted subtree-slide move (missation-free, inner, no root
+    change) — mixer.py subtree_slide / subrun.cpp:184-209 + native
+    Mixer::subtree_slide: displace P along/through branches with a normal
+    proposal, with the straddling-count Hastings ratio when the slide hops
+    junctions.  Returns (p_out, accepted, delta_log_G, eligible)."""
+    parent, children, t = p["parent"], p["children"], p["t"]
+    N = parent.shape[0]
+    W = p["msite"].shape[1]
+    root = p["root"]
+    kx, kn, kpick, kd, krt, krt2, kmh = jax.random.split(key, 7)
+
+    X = jax.random.randint(kx, (), 0, N, dtype=jnp.int32)
+    P0 = parent[jnp.clip(X, 0, N - 1)]
+    eligible = (X != root) & (P0 >= 0) & (P0 != root)
+    Xc = jnp.where(eligible, X, jnp.int32(0))
+    P = jnp.clip(parent[Xc], 0, N - 1)
+    eligible = eligible & (parent[Xc] >= 0) & (parent[Xc] != root)
+    c0, c1 = children[P, 0], children[P, 1]
+    S = jnp.where(c0 == Xc, c1, c0)
+    G = jnp.clip(parent[P], 0, N - 1)
+    t_X = t[Xc]
+    t_P_old = t[P]
+
+    lam_X = _lambda_at_dev(p, Xc, lambda_ref, mu, nu, qatab, part)
+    eligible = eligible & (lam_X > 0.0)
+    mu_prop = lam_X / L
+
+    t_root = t[root]
+    span = jnp.maximum(t_max_tip - t_root, 0.0)
+    scale = jnp.minimum(0.5 / lam_X, span)
+    delta_t = scale * jax.random.normal(kn, (), dtype=jnp.float64)
+    t_new = t_P_old + delta_t
+
+    # --- choose the target branch SS + Hastings ratio --------------------
+    up_deep = (delta_t < 0) & (t_new < t[G])
+    down = delta_t >= 0
+    eligible = eligible & ~(down & (t_new > t_X))
+
+    # climb: highest ancestor whose parent time <= t_new
+    def climb_cond(c):
+        SSc, GGc, steps = c
+        return (GGc >= 0) & (t_new < t[jnp.maximum(GGc, 0)]) & (steps < P_MAX)
+
+    def climb_body(c):
+        SSc, GGc, steps = c
+        return GGc, parent[jnp.maximum(GGc, 0)], steps + 1
+
+    SS_up, _, _ = jax.lax.while_loop(climb_cond, climb_body,
+                                     (P, parent[P], jnp.int32(0)))
+    # reverse-count for the up case: branches straddling old_t_P under SS_up
+    mask_up = _straddling_mask(parent, t, SS_up, t_P_old, Xc, root)
+    n_up_brs = jnp.sum(mask_up).astype(jnp.float64)
+    # forward pick for the down case: branches straddling t_new under P
+    mask_dn = _straddling_mask(parent, t, P, t_new, Xc, root)
+    # P's own subtree minus X = S's side; exclude P itself
+    mask_dn = mask_dn & (jnp.arange(N) != P)
+    n_dn_brs = jnp.sum(mask_dn).astype(jnp.int32)
+    down_deep = down & (t_new > t[S])
+    upick = jax.random.uniform(kpick, (), dtype=jnp.float64)
+    csum = jnp.cumsum(mask_dn)
+    pick = jnp.searchsorted(csum, jnp.floor(upick * n_dn_brs) + 1,
+                            side="left").astype(jnp.int32)
+    SS_dn = jnp.clip(pick, 0, N - 1)
+
+    SS = jnp.where(up_deep, SS_up, jnp.where(down_deep, SS_dn, S))
+    log_alpha_ratio = jnp.where(
+        up_deep, -jnp.log(jnp.maximum(n_up_brs, 1.0)),
+        jnp.where(down_deep, jnp.log(jnp.maximum(
+            n_dn_brs.astype(jnp.float64), 1.0)), 0.0))
+    eligible = eligible & ~(down_deep & (n_dn_brs == 0))
+    eligible = eligible & (SS != root) & (t_new < t_X)
+    # the slide's time must land strictly inside SS's branch
+    pSS = jnp.clip(parent[jnp.clip(SS, 0, N - 1)], 0, N - 1)
+    eligible = eligible & jnp.where(
+        SS == S, jnp.bool_(True),
+        (t_new <= t[jnp.clip(SS, 0, N - 1)]) & (t_new > t[pSS]))
+
+    # --- old graft terms --------------------------------------------------
+    M_old = p["mcount"][Xc]
+    dG_old = branch_log_G(t_P_old, t_X, lam_X, p["msite"][Xc],
+                          p["mfrom"][Xc], p["mto"][Xc], p["mt"][Xc],
+                          M_old, mu, nu, qtab, qatab, part)
+    d0s, d0f, d0t, d0c = compose_events(
+        p["msite"][Xc], p["mfrom"][Xc], p["mto"][Xc],
+        jnp.arange(W) < M_old)
+    alpha_old = log_alpha_mut(jnp.float64(L), t_X - t_P_old,
+                              M_old.astype(jnp.float64),
+                              d0c.astype(jnp.float64), mu_prop)
+
+    # --- detach; target deltas; history (same blocks as spr1_step) --------
+    p_det, S_det, Pf = detach(p, Xc)
+    SS_det = jnp.where(SS == P, S_det, SS)
+    bs, bf2, bt2, bc, ok = deltas_between_dev(p_det, SS_det, t_new, S_det,
+                                              t_P_old)
+    cat_s = jnp.concatenate([
+        jnp.where(jnp.arange(bs.shape[0]) < bc, bs, -1),
+        jnp.where(jnp.arange(d0s.shape[0]) < d0c, d0s, -1)])
+    cat_f = jnp.concatenate([bf2, d0f])
+    cat_t = jnp.concatenate([bt2, d0t])
+    nds, ndf, ndt, ndc = compose_events(cat_s, cat_f, cat_t, cat_s >= 0)
+    ok = ok & (ndc <= H_D)
+
+    T_new = t_X - t_new
+    eligible = eligible & (T_new > 0)
+    hidx = jnp.arange(H_D)
+    h_active = hidx < ndc
+    h_frm = jnp.where(h_active, ndf[:H_D], 0)
+    h_to = jnp.where(h_active, ndt[:H_D], 1)
+    dkeys = jax.random.split(kd, H_D)
+    k_d, st_d, tm_d = jax.vmap(
+        lambda kk, a, b: _hist.sample_site_history(kk, a, b, T_new, mu_prop,
+                                                   min_k=1))(
+        dkeys, h_frm, h_to)
+
+    rt_mask = _hist.sample_roundtrip_mask(krt, L, T_new, mu_prop)
+    DN = nds.shape[0]
+    nd_pad = jnp.where(jnp.arange(DN) < ndc, nds, jnp.int32(2 ** 30))
+    sit = jnp.arange(L)
+    pos = jnp.searchsorted(nd_pad, sit)
+    pos_c = jnp.clip(pos, 0, DN - 1)
+    is_delta = (pos < ndc) & (nd_pad[pos_c] == sit)
+    rt_mask = rt_mask & ~is_delta
+    n_rt = jnp.sum(rt_mask).astype(jnp.int32)
+    ok = ok & (n_rt <= H_RT)
+    rt_sites = jnp.where(jnp.arange(H_RT) < n_rt,
+                         jnp.argsort(~rt_mask, stable=True)[:H_RT],
+                         -1).astype(jnp.int32)
+    rt_active = jnp.arange(H_RT) < n_rt
+    rt_state = jax.vmap(
+        lambda st: _state_at_dev(p_det, ref_seq, SS_det, t_new,
+                                 jnp.maximum(st, 0)))(rt_sites)
+    rkeys = jax.random.split(krt2, H_RT)
+    k_r, st_r, tm_r = jax.vmap(
+        lambda kk, s: _hist.sample_site_history(kk, s, s, T_new, mu_prop,
+                                                min_k=2))(
+        rkeys, jnp.where(rt_active, rt_state, 0))
+
+    KM = _hist.KMAX
+    ev_site = jnp.concatenate([
+        jnp.repeat(jnp.where(h_active, nds[:H_D], -1), KM),
+        jnp.repeat(rt_sites, KM)])
+    ev_in_k = jnp.concatenate([
+        (jnp.arange(H_D * KM) % KM) < jnp.repeat(k_d, KM),
+        (jnp.arange(H_RT * KM) % KM) < jnp.repeat(k_r, KM)])
+    ev_act = jnp.concatenate([jnp.repeat(h_active, KM),
+                              jnp.repeat(rt_active, KM)]) & ev_in_k \
+        & (ev_site >= 0)
+    ev_to = jnp.concatenate([st_d.reshape(-1), st_r.reshape(-1)])
+    prev_d = jnp.concatenate(
+        [h_frm[:, None], st_d[:, :-1]], axis=1).reshape(-1)
+    prev_r = jnp.concatenate(
+        [jnp.where(rt_active, rt_state, 0)[:, None], st_r[:, :-1]],
+        axis=1).reshape(-1)
+    ev_from = jnp.concatenate([prev_d, prev_r])
+    ev_t = jnp.concatenate([tm_d.reshape(-1), tm_r.reshape(-1)]) + t_X
+    M_new = jnp.sum(ev_act).astype(jnp.int32)
+    ok = ok & (M_new <= W)
+    o = jnp.argsort(jnp.where(ev_act, ev_t, jnp.inf))
+    take = jnp.arange(W)
+    row_site = jnp.where(take < M_new, ev_site[o[:W]], -1).astype(jnp.int32)
+    row_from = jnp.where(take < M_new, ev_from[o[:W]], 0).astype(jnp.int32)
+    row_to = jnp.where(take < M_new, ev_to[o[:W]], 0).astype(jnp.int32)
+    row_t = jnp.where(take < M_new, ev_t[o[:W]], jnp.inf)
+
+    dG_new = branch_log_G(t_new, t_X, lam_X, row_site, row_from, row_to,
+                          row_t, M_new, mu, nu, qtab, qatab, part)
+    alpha_new = log_alpha_mut(jnp.float64(L), T_new,
+                              M_new.astype(jnp.float64),
+                              ndc.astype(jnp.float64), mu_prop)
+
+    p_new = attach(p_det, Xc, Pf, SS_det, t_new, row_site, row_from, row_to,
+                   row_t, M_new)
+
+    log_mh = ((dG_new - alpha_new) - (dG_old - alpha_old) + log_alpha_ratio)
+    u = jax.random.uniform(kmh, (), dtype=jnp.float64)
+    accept = (eligible & ok & ((log_mh >= 0.0) | (jnp.log(u) < log_mh)))
+
+    p_out = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(accept, (1,) * a.ndim), b, a) if a.ndim else
+        jnp.where(accept, b, a), p, p_new)
+    dlg = jnp.where(accept, dG_new - dG_old, 0.0)
+    return p_out, accept, dlg, eligible & ok

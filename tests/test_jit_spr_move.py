@@ -338,3 +338,57 @@ def test_jit_spr1_sweep_matches_stepwise():
     after = _logG(after_tree, evo_)
     np.testing.assert_allclose(after - before, float(dlg_tot),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_jit_slide_step_chain_ledger_and_integrity():
+    """Chain of jitted subtree-slide moves: oracle ledger identity on every
+    accepted move, integrity + tip data preserved, some accepts."""
+    import jax
+    from delphy_tpu.ops.spr_move import slide_step
+
+    MU = 4e-4
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        12, 300, mu=MU, missing_fraction=0.0, seed=29)
+    rng = np.random.default_rng(29)
+    tree = build_random_tree(ref, deltas, [[] for _ in range(12)], dates,
+                             names=names, rng=rng)
+    from delphy_tpu.evo import make_evo_params
+    evo = make_evo_params(tree.num_sites, mu=MU, kappa=2.0, pi=(0.25,) * 4,
+                          nu=rng.gamma(8.0, 1 / 8.0, size=tree.num_sites))
+    L = tree.num_sites
+    p = pack_tree(tree)
+    ref_seq = jnp.asarray(np.asarray(tree.ref_seq, dtype=np.int32))
+    nu = jnp.asarray(np.asarray(evo.nu))
+    part = jnp.asarray(np.asarray(evo.part, dtype=np.int64))
+    q3 = np.asarray(evo.q_tab, dtype=np.float64).reshape(-1, 4, 4)
+    qtab = jnp.asarray(q3.reshape(-1))
+    qa_np = np.stack([-np.diag(q3[i]) for i in range(q3.shape[0])])
+    qatab = jnp.asarray(qa_np.reshape(-1))
+    lambda_ref = float(np.sum(MU * np.asarray(evo.nu)
+                              * qa_np[np.asarray(evo.part),
+                                      np.asarray(tree.ref_seq)]))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:12]))
+
+    lg = _logG(tree, evo)
+    key = jax.random.PRNGKey(4)
+    n_acc = n_elig = 0
+    tip_seqs = [tree.sequence_at(i).copy() for i in range(tree.num_tips)]
+    for it in range(150):
+        key, k = jax.random.split(key)
+        p2, acc, dlg, elig = slide_step(
+            k, p, ref_seq, L, jnp.float64(MU), nu, qtab, qatab, part,
+            jnp.float64(lambda_ref), jnp.float64(t_max_tip))
+        n_elig += int(elig)
+        if bool(acc):
+            n_acc += 1
+            back = unpack_tree(p2, tree)
+            back.check_integrity()
+            lg2 = _logG(back, evo)
+            np.testing.assert_allclose(lg2 - lg, float(dlg),
+                                       rtol=1e-9, atol=1e-9)
+            lg = lg2
+            for i in range(back.num_tips):
+                assert (back.sequence_at(i) == tip_seqs[i]).all(), i
+            p = p2
+    assert n_elig >= 50, n_elig
+    assert n_acc >= 10, n_acc
