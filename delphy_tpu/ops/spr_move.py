@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..phylo import FlatTree, Mutation, NO_NODE
+from ..phylo import FlatTree, Mutation
 
 BIG_T = jnp.inf
 
@@ -79,12 +79,6 @@ def unpack_tree(p, tree_template: FlatTree) -> FlatTree:
         for b in range(N)
     ]
     return out
-
-
-def _row_sorted_by_time(msite, mfrom, mto, mt):
-    """Sort one branch row by time (pads at +inf stay last)."""
-    o = jnp.argsort(mt)
-    return msite[o], mfrom[o], mto[o], mt[o]
 
 
 @jax.jit
