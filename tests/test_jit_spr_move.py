@@ -392,3 +392,50 @@ def test_jit_slide_step_chain_ledger_and_integrity():
             p = p2
     assert n_elig >= 50, n_elig
     assert n_acc >= 10, n_acc
+
+
+def test_jit_spr1_sweep_vmaps_over_chains():
+    """spr1_sweep vmaps over a batch of independent chains (shape-uniform
+    packed trees): each lane equals its own single-chain run — the
+    multi-chain data-parallel shape on device."""
+    import jax
+    from delphy_tpu.ops.spr_move import spr1_sweep
+
+    MU = 4e-4
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        10, 250, mu=MU, missing_fraction=0.0, seed=23)
+    rng = np.random.default_rng(23)
+    tree = build_random_tree(ref, deltas, [[] for _ in range(10)], dates,
+                             names=names, rng=rng)
+    from delphy_tpu.evo import make_evo_params
+    evo = make_evo_params(tree.num_sites, mu=MU, kappa=2.0, pi=(0.25,) * 4,
+                          nu=rng.gamma(8.0, 1 / 8.0, size=tree.num_sites))
+    L = tree.num_sites
+    p0 = pack_tree(tree)
+    ref_seq = jnp.asarray(np.asarray(tree.ref_seq, dtype=np.int32))
+    nu = jnp.asarray(np.asarray(evo.nu))
+    part = jnp.asarray(np.asarray(evo.part, dtype=np.int64))
+    q3 = np.asarray(evo.q_tab, dtype=np.float64).reshape(-1, 4, 4)
+    qtab = jnp.asarray(q3.reshape(-1))
+    qa_np = np.stack([-np.diag(q3[i]) for i in range(q3.shape[0])])
+    qatab = jnp.asarray(qa_np.reshape(-1))
+    lambda_ref = float(np.sum(MU * np.asarray(evo.nu)
+                              * qa_np[np.asarray(evo.part),
+                                      np.asarray(tree.ref_seq)]))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:10]))
+
+    B, n = 3, 24
+    keys = jax.random.split(jax.random.PRNGKey(31), B)
+    pB = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p0)
+    run_one = lambda k, pp: spr1_sweep(
+        k, pp, ref_seq, L, n, jnp.float64(MU), nu, qtab, qatab, part,
+        jnp.float64(lambda_ref), jnp.float64(t_max_tip))
+    pB2, n_accB, dlgB, n_elB = jax.vmap(run_one)(keys, pB)
+
+    for b in range(B):
+        p_i, n_acc_i, dlg_i, _ = run_one(keys[b], p0)
+        assert int(n_accB[b]) == int(n_acc_i)
+        np.testing.assert_allclose(float(dlgB[b]), float(dlg_i), rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(pB2["parent"][b]),
+                                      np.asarray(p_i["parent"]))
+    assert int(n_accB.sum()) >= 2
