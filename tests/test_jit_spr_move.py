@@ -439,3 +439,40 @@ def test_jit_spr1_sweep_vmaps_over_chains():
         np.testing.assert_array_equal(np.asarray(pB2["parent"][b]),
                                       np.asarray(p_i["parent"]))
     assert int(n_accB.sum()) >= 2
+
+
+def test_straddling_mask_matches_host_enumeration():
+    """_straddling_mask equals the host's enumerate_straddling at the
+    slide's call-site configurations (t_cut strictly below anc's time never
+    occurs there: anc is an ancestor being slid through, so t_cut > t[anc])
+    — this pins the Hastings-ratio inputs the ledger tests cannot see."""
+    from delphy_tpu.topo.mixer import _enumerate_straddling
+    from delphy_tpu.ops.spr_move import _straddling_mask
+
+    tree, rng = _no_miss_tree(T=14, L=100, seed=37)
+    p = pack_tree(tree)
+    parent = p["parent"]
+    t = p["t"]
+    N = tree.num_nodes
+    checked = 0
+    for trial in range(60):
+        anc = int(rng.integers(0, N))
+        if tree.is_tip(anc):
+            continue
+        X = int(rng.integers(0, N))
+        if X == tree.root:
+            continue
+        # call-site shape: t_cut strictly later than anc's time, within the
+        # subtree's time range
+        t_cut = float(rng.uniform(tree.t[anc] + 1e-9,
+                                  np.max(np.asarray(tree.t)) + 1.0))
+        want = []
+        _enumerate_straddling(tree, anc, t_cut, X, want)
+        # host starts at anc: with t_cut > t[anc] it always recurses, so anc
+        # itself is excluded — matching the mask's semantics
+        got = sorted(np.nonzero(np.asarray(_straddling_mask(
+            parent, t, jnp.int32(anc), jnp.float64(t_cut), jnp.int32(X),
+            p["root"])))[0].tolist())
+        assert got == sorted(want), (trial, anc, X, t_cut, got, want)
+        checked += 1
+    assert checked >= 15
