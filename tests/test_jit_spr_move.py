@@ -476,3 +476,57 @@ def test_straddling_mask_matches_host_enumeration():
         assert got == sorted(want), (trial, anc, X, t_cut, got, want)
         checked += 1
     assert checked >= 15
+
+
+def test_jit_mixed_move_chain_stress():
+    """600 alternating SPR1/slide moves: ledger identity at the end (total
+    accumulated delta == oracle diff), integrity + tip data preserved."""
+    import jax
+    from delphy_tpu.ops.spr_move import spr1_step, slide_step
+
+    MU = 4e-4
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        14, 250, mu=MU, missing_fraction=0.0, seed=41)
+    rng = np.random.default_rng(41)
+    tree = build_random_tree(ref, deltas, [[] for _ in range(14)], dates,
+                             names=names, rng=rng)
+    from delphy_tpu.evo import make_evo_params
+    evo = make_evo_params(tree.num_sites, mu=MU, kappa=2.0, pi=(0.25,) * 4,
+                          nu=rng.gamma(8.0, 1 / 8.0, size=tree.num_sites))
+    L = tree.num_sites
+    p = pack_tree(tree)
+    ref_seq = jnp.asarray(np.asarray(tree.ref_seq, dtype=np.int32))
+    nu = jnp.asarray(np.asarray(evo.nu))
+    part = jnp.asarray(np.asarray(evo.part, dtype=np.int64))
+    q3 = np.asarray(evo.q_tab, dtype=np.float64).reshape(-1, 4, 4)
+    qtab = jnp.asarray(q3.reshape(-1))
+    qa_np = np.stack([-np.diag(q3[i]) for i in range(q3.shape[0])])
+    qatab = jnp.asarray(qa_np.reshape(-1))
+    lambda_ref = float(np.sum(MU * np.asarray(evo.nu)
+                              * qa_np[np.asarray(evo.part),
+                                      np.asarray(tree.ref_seq)]))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:14]))
+    args = (ref_seq, L, jnp.float64(MU), nu, qtab, qatab, part,
+            jnp.float64(lambda_ref), jnp.float64(t_max_tip))
+
+    lg0 = _logG(tree, evo)
+    key = jax.random.PRNGKey(6)
+    dlg_total = 0.0
+    n_acc = 0
+    for it in range(600):
+        key, k = jax.random.split(key)
+        if it % 2 == 0:
+            p2, acc, dlg, _, _ = spr1_step(k, p, *args)
+        else:
+            p2, acc, dlg, _ = slide_step(k, p, *args)
+        if bool(acc):
+            n_acc += 1
+            dlg_total += float(dlg)
+            p = p2
+    back = unpack_tree(p, tree)
+    back.check_integrity()
+    np.testing.assert_allclose(_logG(back, evo) - lg0, dlg_total,
+                               rtol=1e-8, atol=1e-8)
+    for i in range(back.num_tips):
+        assert (back.sequence_at(i) == tree.sequence_at(i)).all()
+    assert n_acc >= 30, n_acc
