@@ -13,8 +13,11 @@
 
 #include <algorithm>
 #include <cassert>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <random>
 #include <stdexcept>
@@ -23,6 +26,40 @@
 #include <vector>
 
 namespace {
+
+// ---- env-gated phase profiler (DELPHY_TPU_TOPO_PROF=1) ---------------------
+struct TopoProf {
+  bool on = std::getenv("DELPHY_TPU_TOPO_PROF") != nullptr;
+  double acc[8] = {};
+  int64_t n = 0;
+  static const char* name(int i) {
+    static const char* k[8] = {"analyze_peel", "pre_study", "move",
+                               "propose",      "post_study", "coal",
+                               "apply",        "other"};
+    return k[i];
+  }
+  double now() const {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  }
+  void dump() const {
+    if (!on || n == 0) return;
+    std::fprintf(stderr, "[topo_prof] n=%lld", (long long)n);
+    for (int i = 0; i < 8; i++)
+      std::fprintf(stderr, " %s=%.2fus", name(i), acc[i] / (double)n * 1e6);
+    std::fprintf(stderr, "\n");
+  }
+};
+thread_local TopoProf g_prof;
+struct ProfPhase {
+  int idx;
+  double t0;
+  explicit ProfPhase(int i) : idx(i), t0(g_prof.on ? g_prof.now() : 0.0) {}
+  ~ProfPhase() {
+    if (g_prof.on) g_prof.acc[idx] += g_prof.now() - t0;
+  }
+};
 
 constexpr int32_t NO_NODE = -1;
 constexpr double ROOT_DELTA_T = -1.0e30;
@@ -2284,9 +2321,13 @@ struct Mixer {
 
     ctx.begin_move();
     Graft& old_graft = g_old;
-    ctx.analyze_graft(X, old_graft);
-    ctx.peel_graft(old_graft);
+    {
+      ProfPhase pp(0);
+      ctx.analyze_graft(X, old_graft);
+      ctx.peel_graft(old_graft);
+    }
 
+    ProfPhase* ps = g_prof.on ? new ProfPhase(1) : nullptr;
     summarize_closed(old_graft, scratch_deltas_P_to_X);
     ctx.miss_at_or_above(X, scratch_missing_at_X);
     Sites& missing_at_X = scratch_missing_at_X;
@@ -2296,6 +2337,7 @@ struct Mixer {
                                  can_change_root);
     SprStudy pre_study(study_builder, lam_X, annealing_factor, t_X,
                        t_max_tip);
+    delete ps;
 
     // extract everything the pre-study provides BEFORE the builder is reset
     // for the post-study (the study views the builder's region list)
@@ -2314,10 +2356,17 @@ struct Mixer {
       return;
     }
 
-    ctx.move(X, new_S, new_t_P);
+    {
+      ProfPhase pp(2);
+      ctx.move(X, new_S, new_t_P);
+    }
     Graft& new_graft = g_new;
-    ctx.propose_new_graft(X, rng, new_graft);
+    {
+      ProfPhase pp(3);
+      ctx.propose_new_graft(X, rng, new_graft);
+    }
 
+    ProfPhase* ps2 = g_prof.on ? new ProfPhase(4) : nullptr;
     summarize_closed(new_graft, scratch_deltas_P_to_X);
     study_builder.reset(t, X, t_X, missing_at_X, limit);
     study_builder.seed_fill_from(new_S, 0, scratch_deltas_P_to_X,
@@ -2325,6 +2374,7 @@ struct Mixer {
     SprStudy post_study(study_builder, lam_X, annealing_factor, t_X,
                         t_max_tip);
     int32_t old_region = post_study.find_region(old_S, old_t_P);
+    delete ps2;
     if (old_region == -1) {
       // reverse proposal can't produce the old state -> reject
       ctx.move(X, old_S, old_t_P);
@@ -2334,10 +2384,15 @@ struct Mixer {
     double log_alpha_new_to_old =
         post_study.log_alpha_in_region(old_region, old_t_P);
 
-    double delta_coal = coal.displace_delta(old_t_P, new_t_P);
+    double delta_coal;
+    {
+      ProfPhase pp(5);
+      delta_coal = coal.displace_delta(old_t_P, new_t_P);
+    }
     double log_mh = (new_graft.delta_log_G - new_graft.log_alpha_mut) -
                     (old_graft.delta_log_G - old_graft.log_alpha_mut) +
                     log_alpha_new_to_old - log_alpha_old_to_new + delta_coal;
+    ProfPhase pp(6);
     if (log_mh >= 0.0 || rng.uniform() < std::exp(std::min(log_mh, 0.0))) {
       ctx.apply_graft(new_graft);
       coal.commit();
@@ -2366,6 +2421,8 @@ struct Mixer {
       else
         spr1();
     }
+    g_prof.n += n_moves;
+    g_prof.dump();
   }
 };
 
