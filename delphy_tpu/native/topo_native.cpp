@@ -950,11 +950,22 @@ struct SprContext {
   // lambda contribution of a sliding missation set just above its position
   double lam_over_miss(const Sites& sites,
                        const FlatMap<int8_t>& from) const {
+    // ref-state part telescopes over consecutive-site runs via the
+    // ref_cum_Q prefix sums (missations come in long runs, so this is
+    // O(runs) instead of O(sites) heavy loads); the few from-state
+    // exceptions are corrected from the (small) fs map afterwards
     double out = 0.0;
-    for (int32_t l : sites) {
-      auto it = from.find(l);
-      int8_t s = it != from.end() ? it->second : (int8_t)tree.ref_seq[l];
-      out += mu * nu[l] * qa(l, s);
+    size_t n = sites.size();
+    for (size_t i = 0; i < n;) {
+      size_t j = i + 1;
+      while (j < n && sites[j] == sites[j - 1] + 1) j++;
+      out += ref_cum_Q[sites[j - 1] + 1] - ref_cum_Q[sites[i]];
+      i = j;
+    }
+    for (const auto& kv : from) {
+      int32_t l = kv.first;
+      if (!sites_contains(sites, l)) continue;
+      out += mu * nu[l] * (qa(l, kv.second) - qa(l, (int8_t)tree.ref_seq[l]));
     }
     return out;
   }
@@ -1017,7 +1028,10 @@ struct SprContext {
   }
 
   void propose_new_graft(int32_t X, Rng& rng, Graft& g) {
-    start_graft_analysis(X, g);
+    {
+      ProfPhase pp(7);
+      start_graft_analysis(X, g);
+    }
     propose_new_graft_mutations(g, rng);
     finish_graft_analysis(g);
   }
