@@ -81,9 +81,13 @@ class Run:
         self.topology_partitions = topology_partitions
         self.topology_parallel_processes = topology_parallel_processes
         # amortize per-burst fixed costs (partitioning, transfers, pack/unpack)
-        # by accumulating the topology-move budget over several boundaries
-        # (32 measured best on the tunneled v5e: ~31 ms fixed per dispatch)
-        self.topology_burst_chunks = 32
+        # by accumulating the topology-move budget over several boundaries.
+        # The fixed cost per dispatch+burst cycle is ~0.1 s on the tunneled
+        # v5e, so small trees want big chunks (~1M local moves per cycle:
+        # Ebola 0.85 -> 1.15 M moves/s measured, scripts/profile_cycle.py);
+        # large trees are compute-dominated and keep the 32 floor so the
+        # topology interleave stays close to the reference's 2/32 cadence
+        self.topology_burst_chunks = 32  # reset below once cadence is known
         self._topo_debt = 0
         self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
         self.topology_accepted = 0
@@ -91,6 +95,8 @@ class Run:
         N = self.ts.num_nodes
         self.local_moves_per_global_move = (
             50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
+        self.topology_burst_chunks = max(
+            32, min(256, 1_000_000 // max(1, self.local_moves_per_global_move)))
 
         self.mpox_hack = mpox_hack
         if mpox_hack:
