@@ -49,16 +49,25 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
         if hyp.mu_move_enabled and not hyp.mu_fixed:
             evo = gm.mu_gibbs_move(k_mu, evo, Ttwiddle_a, num_muts, hyp)
 
-        # 2. 10x pseudo-Gibbs HKY frequency + kappa moves (run.cpp:714-719)
+        # 2. 10x pseudo-Gibbs HKY frequency + kappa moves (run.cpp:714-719).
+        # On TPU the 20 sequential tiny-op MH steps run as one fused Pallas
+        # kernel (parallel/hky_pallas.py, ~0.8 ms/boundary in XLA form);
+        # identical move semantics, only the RNG layout differs.
         if hyp.hky_moves_enabled:
-            def hky_body(i, carry):
-                evo, key = carry
-                key, kf, kk = jax.random.split(key, 3)
-                evo = gm.hky_frequencies_move(kf, evo, Ttwiddle_a, M_ab,
-                                              root_freq)
-                evo = gm.hky_kappa_move(kk, evo, Ttwiddle_a, M_ab, hyp)
-                return (evo, key)
-            evo, _ = jax.lax.fori_loop(0, 10, hky_body, (evo, k_hky))
+            from ..parallel.sweep import pallas_enabled
+            if pallas_enabled() and not jax.config.x64_enabled:
+                from ..parallel import hky_pallas as hp
+                evo = hp.hky_chain(k_hky, evo, Ttwiddle_a, M_ab, root_freq,
+                                   hyp, n_rounds=10)
+            else:
+                def hky_body(i, carry):
+                    evo, key = carry
+                    key, kf, kk = jax.random.split(key, 3)
+                    evo = gm.hky_frequencies_move(kf, evo, Ttwiddle_a, M_ab,
+                                                  root_freq)
+                    evo = gm.hky_kappa_move(kk, evo, Ttwiddle_a, M_ab, hyp)
+                    return (evo, key)
+                evo, _ = jax.lax.fori_loop(0, 10, hky_body, (evo, k_hky))
 
     # 3. alpha moves + Gibbs of all nu_l (run.cpp:729-732)
     if hyp.alpha_move_enabled:
