@@ -96,7 +96,7 @@ class Run:
         self.local_moves_per_global_move = (
             50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
         self.topology_burst_chunks = max(
-            32, min(256, 1_000_000 // max(1, self.local_moves_per_global_move)))
+            32, min(256, 2_000_000 // max(1, self.local_moves_per_global_move)))
 
         self.mpox_hack = mpox_hack
         if mpox_hack:
