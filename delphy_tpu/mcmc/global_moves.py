@@ -370,7 +370,8 @@ def skygrid_hmc_move(key, p: popm.SkygridPopParams, grid: coal.CoalGrid,
 
 
 def exp_pop_moves(key, pop_params: popm.ExpPopParams, grid: coal.CoalGrid,
-                  t, is_tip, hyp: PriorConfig, n_rounds: int = 50):
+                  t, is_tip, hyp: PriorConfig, n_rounds: int = 50,
+                  allow_pallas: bool = True):
     """50 rounds of n0 scale moves + g random-walk moves (run.cpp:1237-1319).
 
     k_bar is fixed (node times don't change); each proposal re-evaluates the
@@ -382,7 +383,7 @@ def exp_pop_moves(key, pop_params: popm.ExpPopParams, grid: coal.CoalGrid,
     Identical move semantics; only the RNG layout differs.
     """
     from ..parallel.sweep import pallas_enabled
-    if pallas_enabled() and not jax.config.x64_enabled:
+    if allow_pallas and pallas_enabled() and not jax.config.x64_enabled:
         from ..parallel import pop_pallas as pp
         return pp.exp_pop_chain(key, pop_params, grid, t, is_tip, hyp,
                                 n_rounds, use_kernel=True)

@@ -25,8 +25,13 @@ from .global_moves import PriorConfig
 
 
 def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
-                     tin, tout, t_max_tip, hyp: PriorConfig, num_cells: int):
-    """Global moves + grid rebuild + ledger recompute (run.cpp:695-779)."""
+                     tin, tout, t_max_tip, hyp: PriorConfig, num_cells: int,
+                     allow_pallas: bool = True):
+    """Global moves + grid rebuild + ledger recompute (run.cpp:695-779).
+
+    allow_pallas is the runtime kill-switch run.py toggles after a
+    Mosaic/VMEM failure: it must disable EVERY Pallas kernel in the
+    super-step (sweep chain, HKY chain, exp-pop chain), not just the sweep."""
     cnt, nucum = lk.calc_ref_state_prefix(ts, evo)
     root_freq = lk.calc_root_state_frequencies(ts, evo, cnt)
     num_muts = lk.calc_num_muts(ts)
@@ -55,7 +60,7 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
         # identical move semantics, only the RNG layout differs.
         if hyp.hky_moves_enabled:
             from ..parallel.sweep import pallas_enabled
-            if pallas_enabled() and not jax.config.x64_enabled:
+            if allow_pallas and pallas_enabled() and not jax.config.x64_enabled:
                 from ..parallel import hky_pallas as hp
                 evo = hp.hky_chain(k_hky, evo, Ttwiddle_a, M_ab, root_freq,
                                    hyp, n_rounds=10)
@@ -88,7 +93,8 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
     # 4. Pseudo-Gibbs sampling of population parameters (run.cpp:749-778)
     if isinstance(pop_params, popm.ExpPopParams) and (
             hyp.pop_size_move_enabled or hyp.pop_growth_rate_move_enabled):
-        pop_params = gm.exp_pop_moves(k_pop, pop_params, grid, ts.t, is_tip, hyp)
+        pop_params = gm.exp_pop_moves(k_pop, pop_params, grid, ts.t, is_tip, hyp,
+                                      allow_pallas=allow_pallas)
         grid = grid._replace(
             popsize_bar=coal.calc_popsize_bars(pop_params, grid.t_lo, grid.t_step,
                                                num_cells))

@@ -424,7 +424,8 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
     With mesh=None the parts fan out via vmap on one device; with a mesh they
     shard over its ("part",) axis under shard_map with psum reassembly."""
     ts, evo, pop_params, grid, caches, ledger, key, stats = run_global_moves(
-        ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells)
+        ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells,
+        allow_pallas=allow_pallas)
 
     # per-part lineage staircases + auxiliary-field resample (a Gibbs update
     # of the decoupling fields, very_scalable_coalescent.cpp:198-219)

@@ -88,6 +88,11 @@ class Run:
         # large trees are compute-dominated and keep the 32 floor so the
         # topology interleave stays close to the reference's 2/32 cadence
         self.topology_burst_chunks = 32  # reset below once cadence is known
+        # restencil cadence is DECOUPLED from topology_burst_chunks: raising
+        # the burst chunk count for small trees must not also stretch how
+        # often frozen cut-point times get resampled (the slow-switching
+        # argument of run.cpp:87-108 assumes a steady refresh interval)
+        self.restencil_interval = 32
         self._topo_debt = 0
         self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
         self.topology_accepted = 0
@@ -305,6 +310,11 @@ class Run:
         max_dispatch = int(_os.environ.get("DELPHY_TPU_MAX_DISPATCH_MOVES",
                                            str(32_000_000)))
         k_cap = max(1, min(K, max_dispatch // max(1, cadence)))
+        if P > 1:
+            # restencil granularity is bounded by dispatch size: keep
+            # dispatches short enough that cut-point refresh can fire on its
+            # own cadence even when topology bursts are large or disabled
+            k_cap = min(k_cap, self.restencil_interval)
         while done < n_steps:
             remaining = n_steps - done
             # up to K boundaries in ONE dispatch: amortizes the per-dispatch
@@ -370,11 +380,12 @@ class Run:
                         self._topo_debt = 0
                         repartitioned = True
             if (not repartitioned and P > 1
-                    and self._boundaries_since_repart >= K):
+                    and self._boundaries_since_repart >= self.restencil_interval):
                 # periodic restencil so frozen cut-point times get resampled
                 # (the reference's stencil refresh, run.cpp:87-108)
                 self._repartition(sync_times=True)
-            if repartitioned or self._boundaries_since_repart >= K:
+            if (repartitioned
+                    or self._boundaries_since_repart >= self.restencil_interval):
                 self._boundaries_since_repart = 0
             done += chunk
         self.step += n_steps
