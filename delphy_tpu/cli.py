@@ -109,7 +109,7 @@ def build_parser() -> argparse.ArgumentParser:
       help="run snapshot (npz save/resume; functional .dphy counterpart)")
     a("--v0-delphy-snapshot-every", type=int, default=-1)
     a("--v0-out-beast-version", default="2.6.2",
-      choices=["2.6.2", "X-10.5.0"])
+      choices=["2.6.2", "2.7.7", "X-10.5.0"])
     a("--v0-out-beast-xml", metavar="FILE",
       help="export an equivalent BEAST2 XML config and exit")
     a("--v0-out-mcc-file", metavar="FILE",
@@ -450,10 +450,13 @@ def _main(args) -> int:
             run.set_pop(min_pop=args.v0_pop_min_pop * 365.0)
 
     if args.v0_out_beast_xml:
-        from .io.beast_xml import export_beast2_xml, export_beast_x_xml
+        from .io.beast_xml import (export_beast2_xml, export_beast2_7_xml,
+                                   export_beast_x_xml)
         with open(args.v0_out_beast_xml, "w") as f:
             if args.v0_out_beast_version == "X-10.5.0":
                 export_beast_x_xml(f, run.tree(), run)
+            elif args.v0_out_beast_version == "2.7.7":
+                export_beast2_7_xml(f, run.tree(), run)
             else:
                 export_beast2_xml(f, run.tree(), run)
         print(f"Wrote BEAST {args.v0_out_beast_version} XML to "

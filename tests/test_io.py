@@ -169,6 +169,49 @@ def test_beast_xml_export(tmp_path):
     assert len(ops) >= 10
 
 
+def test_beast2_7_xml_export(tmp_path):
+    """BEAST2 2.7.7 dialect (reference export_beast_2_7_7_input,
+    beasty_input.cpp:563-1001): beast.base namespaces, name-alias maps, ISO
+    tip dates, Dirichlet frequency prior, tip-date sampling for uncertain
+    tips, 2.7.7 operator kernels."""
+    import io as _io
+    import xml.etree.ElementTree as ET
+    from delphy_tpu.phylo import build_random_tree
+    from delphy_tpu.run import Run
+    from delphy_tpu.io.beast_xml import export_beast2_7_xml
+
+    ref, deltas, miss, dates, names, _ = simulate_dataset(6, 60, mu=2e-4,
+                                                          seed=9)
+    # give one tip an uncertain date to exercise the MRCAPrior path
+    dates = list(dates)
+    dates[2] = (dates[2][0], dates[2][0] + 30.0)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(9))
+    run = Run(tree, seed=9, num_cells=64, local_moves_per_global_move=100)
+    run.do_mcmc_steps(100)
+    buf = _io.StringIO()
+    export_beast2_7_xml(buf, run.tree(), run, chain_length=1000)
+    text = buf.getvalue()
+    root = ET.fromstring(text)
+    assert root.tag == "beast"
+    assert root.get("required") == "BEAST.base v2.7.7"
+    assert root.get("version") == "2.7"
+    assert len(root.findall("map")) == 10
+    seqs = root.find("data").findall("sequence")
+    assert len(seqs) == 6 and len(seqs[0].get("value")) == 60
+    # ISO-formatted dates in the trait set
+    trait = root.find("run").find("state").find("tree").find("trait")
+    assert trait.get("dateFormat") == "yyyy-M-dd"
+    assert "=2" in trait.get("value")  # year digits present
+    ids = {e.get("id") for e in root.iter() if e.get("id")}
+    assert "Dirichlet.0" in ids
+    assert "AVMNOperator.input_alignment" in ids
+    # the uncertain tip got a sampling prior + operator
+    tip = run.tree().name[2]
+    assert f"tip-dist.{tip}" in ids and f"tip-operator.{tip}" in ids
+    assert "BactrianSubtreeSlide" in text and "EpochFlexOperator" in text
+
+
 def test_cli_skygrid_snapshot(tmp_path):
     ref, deltas, miss, dates, names, _ = simulate_dataset(8, 100, mu=2e-3, seed=6)
     from delphy_tpu.io.fasta import TipData
