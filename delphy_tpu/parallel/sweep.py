@@ -351,9 +351,18 @@ def part_sweep(ctx: PartCtx, k_p, t_p, mut_t, key, sh: SweepShared,
 # Gathering part views + reassembly
 # ---------------------------------------------------------------------------
 
-def build_part_ctx(pm, ts: TreeState, caches: Caches, evo: EvoParams, b):
+def build_part_ctx(pm, ts: TreeState, caches: Caches, evo: EvoParams, b,
+                   salt=None):
     """Gather the per-part sweep context from the global arrays (one gather
-    per boundary; all maps static).  pm is the device pytree of PartMaps."""
+    per boundary; all maps static).  pm is the device pytree of PartMaps.
+
+    salt (i32 scalar, drawn fresh each boundary) perturbs the single-slot
+    hash so collision-locked slots VARY per boundary: a truly-single slot
+    is falsely locked ~1-2% of boundaries instead of permanently, so every
+    mutation time is eventually refreshed by the batched reform (ergodicity;
+    the reference redraws all branch times jointly, phylo_tree.cpp:579-645).
+    The salt is state-independent randomness, so the sweep remains a valid
+    mixture of MCMC kernels."""
     nm = jnp.maximum(pm.node_map, 0)
     mm = jnp.maximum(pm.mut_map, 0)
     site = ts.mut_site[mm]
@@ -371,11 +380,31 @@ def build_part_ctx(pm, ts: TreeState, caches: Caches, evo: EvoParams, b):
     # keep the spurious-lock rate ~1-2%.
     L = ts.num_sites
     B = 32 * pm.mut_map.shape[-1] + 1
-    bucket = (pm.mut_node_local.astype(jnp.int64) * (L + 1)
-              + jnp.maximum(site, 0).astype(jnp.int64)) % B
+    key64 = (pm.mut_node_local.astype(jnp.int64) * (L + 1)
+             + jnp.maximum(site, 0).astype(jnp.int64))
+    if salt is not None:
+        # Murmur3-style avalanche of key^salt: equal keys stay equal under
+        # any salt (true multis are always detected), while which DISTINCT
+        # keys collide is effectively independent across salts — an additive
+        # or multiplicative salt would NOT achieve this ((k1-k2)*c mod m is
+        # salt-invariant).  uint32 wraparound is the hash's working modulus.
+        # The part id enters the key too: the histogram is shared across the
+        # part axis, and uniqueness is a PER-PART property (the same local
+        # node index in two parts is two different global nodes).
+        key_u = (key64.astype(jnp.uint32)
+                 + pm.part_id[:, None].astype(jnp.uint32)
+                 * jnp.uint32(0x9E3779B9))
+        x = key_u ^ salt.astype(jnp.uint32)
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> jnp.uint32(13))
+        x = x * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> jnp.uint32(16))
+        bucket = (x % jnp.uint32(B - 1)).astype(jnp.int32)
+    else:
+        bucket = (key64 % (B - 1)).astype(jnp.int32)
     counts = jnp.zeros(B, jnp.int32).at[
         jnp.where(valid, bucket, B - 1)].add(1)
-    single = valid & (counts[bucket] == 1) & (bucket != B - 1)
+    single = valid & (counts[bucket] == 1)
     return PartCtx(
         parent=pm.parent, children=pm.children, part_root=pm.part_root,
         is_run_root=pm.is_run_root, n_leaves=pm.n_leaves, n_nodes=pm.n_nodes,
@@ -435,11 +464,12 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
         t_p, pm.sign, grid.t_lo, grid.t_step, num_cells)
     active = vsc.active_cells(pm.part_t_lo, pm.part_t_hi, grid.t_lo,
                               grid.t_step, num_cells)
-    key, k_fields, k_sweep = jax.random.split(key, 3)
+    key, k_fields, k_sweep, k_salt = jax.random.split(key, 4)
     fields = vsc.sample_fields(k_fields, k_p, active, grid.popsize_bar,
                                grid.t_step)
 
-    ctx = build_part_ctx(pm, ts, caches, evo, fields.b)
+    salt = jax.random.randint(k_salt, (), 0, jnp.iinfo(jnp.int32).max)
+    ctx = build_part_ctx(pm, ts, caches, evo, fields.b, salt=salt)
     mm = jnp.maximum(pm.mut_map, 0)
     mut_t_p = ts.mut_t[mm]
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(k_sweep, pm.part_id)

@@ -493,6 +493,21 @@ class Run:
                 self.ledger = self.ledger._replace(
                     log_G=self.ledger.log_G + dlg,
                     log_coal=self.ledger.log_coal + dlc)
+        # joint redraw of same-site mutation chains — the one slot class the
+        # device reform can't touch (see topo/reform.py; reference redraws
+        # whole branches jointly, phylo_tree.cpp:579-645)
+        from .topo.reform import resample_multi_site_chains
+        qa_tab = -np.diagonal(q_tab, axis1=1, axis2=2)
+        # rounds scale with the local-move window this burst amortizes, so
+        # chain-time mixing per move is independent of the burst cadence
+        window = n_moves * 30.0 / 2.0
+        rounds = max(1, round(window / max(1, self.local_moves_per_global_move)))
+        dlg_chains = resample_multi_site_chains(tree, self.host_rng, mu, nu,
+                                                part, qa_tab, rounds=rounds)
+        if self.ledger is not None and dlg_chains != 0.0:
+            self.ledger = self.ledger._replace(
+                log_G=self.ledger.log_G + dlg_chains)
+        _stage("multi-site chain reform")
         # keep the reference sequence anchored at the root (normalize_root,
         # run.cpp:258-275; log_G is invariant)
         rereference_to_root_sequence(tree)

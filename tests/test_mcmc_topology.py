@@ -87,7 +87,11 @@ def test_burst_amortization_statistics():
         run, _ = make_run(seed=37, T=16, L=250, lmpgm=300)
         run.topology_burst_chunks = K
         lps = []
-        run.do_mcmc_steps(2000)
+        # this high-mutation-load problem has a ~40k-step equilibration
+        # transient (measured: log_post plateaus near -38k after ~45k steps
+        # both with and without the same-site chain reform); means compared
+        # during the transient are cadence-sensitive for the wrong reason
+        run.do_mcmc_steps(45_000)
         for _ in range(25):
             run.do_mcmc_steps(600)
             lps.append(run.log_posterior)
