@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("--v0-threads", type=int, default=0,
       help="host threads for topology bursts (0 = all cores, the reference "
            "default); device parallelism is governed by the mesh")
+    a("--mesh-devices", type=int, default=-1, metavar="N",
+      help="accelerator devices for the tree-partition mesh: -1 (default) "
+           "uses all visible devices (shard_map over a ('part',) mesh when "
+           ">1, the analogue of the reference's thread fan-out, "
+           "run.cpp:622-693); 1 forces the single-device vmap path")
     a("--v0-paranoid", action="store_true")
     a("--v0-out-log-file", metavar="FILE")
     a("--v0-log-every", type=int, default=-1)
@@ -425,6 +430,20 @@ def _main(args) -> int:
     # pool balance, hence 2x)
     if args.v0_threads and args.v0_threads > 0:
         run_kwargs.setdefault("topology_partitions", 2 * args.v0_threads)
+    # multi-device: partitioned sweeps run under shard_map across a
+    # ("part",) mesh with psum reassembly (reference: run.cpp:622-693)
+    import jax
+    n_mesh = args.mesh_devices
+    if n_mesh < 0:
+        n_mesh = len(jax.devices())
+    if n_mesh > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if n_mesh > len(devs):
+            p.error(f"--mesh-devices {n_mesh}: only {len(devs)} devices visible")
+        run_kwargs["mesh"] = Mesh(np.array(devs[:n_mesh]), axis_names=("part",))
+        print(f"Sharding partitioned sweeps over {n_mesh} devices",
+              file=sys.stderr)
     run = Run(tree, seed=args.v0_seed, hyp=hyp,
               mpox_hack=args.v0_mpox_hack,
               num_cells=max(64, args.v0_target_coal_prior_cells),

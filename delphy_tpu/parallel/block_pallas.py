@@ -60,6 +60,25 @@ def gen_block_uniforms(key, P: int, NB: int, NC: int, MC: int,
         norm=jax.random.normal(ks[6], (P, NB, 128), dtype))
 
 
+def gen_block_uniforms_from_keys(keys, NB: int, NC: int, MC: int,
+                                 dtype=jnp.float32) -> BlockUniforms:
+    """Per-part uniform streams from per-part keys (leading P axis).
+
+    Unlike gen_block_uniforms (one stream shaped (P, ...) from one key), each
+    part's stream depends only on ITS key — so any sharding of the part axis
+    (vmap on one chip, shard_map over a mesh) consumes identical randomness
+    and produces bit-identical trajectories."""
+    def one(k):
+        ks = jax.random.split(k, 7)
+        u = lambda kk, *sh: jax.random.uniform(kk, (NB,) + sh, dtype)
+        return BlockUniforms(
+            pri=u(ks[0], NC), prop=u(ks[1], NC), acc=u(ks[2], NC),
+            ref_u=u(ks[3], MC), ref_acc=u(ks[4], NC), sc=u(ks[5], 128),
+            norm=jax.random.normal(ks[6], (NB, 128), dtype))
+
+    return jax.vmap(one)(keys)
+
+
 def _expm1_k(x):
     """expm1 without the primitive (Mosaic TPU has no expm1 lowering):
     3rd-order series below 1e-3 (rel err O(x^3) ~ 4e-11, below the f64
@@ -392,7 +411,9 @@ def sweep_chain_part(stat: ChainStatics, n_blocks,
             carry = reform(carry, ref_row, refacc_row)
         return carry
 
-    zero = jnp.zeros((), f32)
+    # derive the accumulators' initial values from per-part state so their
+    # varying-axes annotation matches the loop body under shard_map
+    zero = (t[0, 0] * 0.0).astype(f32)
     carry = (t, mut_t, k_p, zero, zero, zero)
     carry = jax.lax.fori_loop(0, n_blocks, block_body, carry)
     return carry

@@ -479,52 +479,62 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
     N = ts.num_nodes
     M = ts.mut_t.shape[0]
-    # the Pallas chain keeps (NC, NC) masks in VMEM: beyond ~1k nodes/part
-    # it exceeds the 16 MB scoped-vmem budget, so huge parts take the XLA
-    # path (auto_num_partitions keeps parts small to avoid this)
-    use_pallas = (allow_pallas and pallas_enabled() and mesh is None
-                  and isinstance(pop_params, popm.ExpPopParams)
-                  and t_p.shape[1] <= int(os.environ.get(
-                      "DELPHY_TPU_PALLAS_NC_MAX", "1024")))
-    if use_pallas:
-        from . import block_pallas as bp
-        cpb = int(os.environ.get("DELPHY_TPU_CPB", "16"))
-        stat, ctx_arrs, shared = bp.pack_chain_inputs(
-            ctx, sh, pop_params, k_p, t_p, mut_t_p, cpb=cpb,
-            no_single=_NO_SINGLE, no_reform=_NO_REFORM)
-        u = bp.gen_block_uniforms(k_sweep, t_p.shape[0], PALLAS_NB_MAX,
-                                  stat.NC, stat.MC, dtype=t_p.dtype)
-        nb = jnp.minimum(n_blocks, PALLAS_NB_MAX)
-        if jax.default_backend() == "tpu":
-            outs = bp.sweep_chain_pallas(stat, nb, ctx_arrs, shared, u)
+
+    def sweep_shard(ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, pm_s):
+        """All sweep work for one shard of the part axis (the whole stack
+        when mesh is None).  Chooses the fused Pallas chain where eligible —
+        per-part uniform streams keep vmap and shard_map trajectories
+        bit-identical — and falls back to the vmapped XLA sweep otherwise.
+        The Pallas chain keeps (NC, NC) masks in VMEM: beyond ~1k nodes/part
+        it exceeds the 16 MB scoped-vmem budget, so huge parts take the XLA
+        path (auto_num_partitions keeps parts small to avoid this)."""
+        use_pallas = (allow_pallas and pallas_enabled()
+                      and isinstance(pop_params, popm.ExpPopParams)
+                      and t_p_s.shape[1] <= int(os.environ.get(
+                          "DELPHY_TPU_PALLAS_NC_MAX", "1024")))
+        if use_pallas:
+            from . import block_pallas as bp
+            cpb = int(os.environ.get("DELPHY_TPU_CPB", "16"))
+            stat, ctx_arrs, shared = bp.pack_chain_inputs(
+                ctx_s, sh, pop_params, k_p_s, t_p_s, mut_t_p_s, cpb=cpb,
+                no_single=_NO_SINGLE, no_reform=_NO_REFORM)
+            u = bp.gen_block_uniforms_from_keys(
+                jax.vmap(lambda k: jax.random.fold_in(k, 0x5157))(keys_s),
+                PALLAS_NB_MAX, stat.NC, stat.MC, dtype=t_p_s.dtype)
+            nb = jnp.minimum(n_blocks, PALLAS_NB_MAX)
+            if jax.default_backend() == "tpu":
+                outs = bp.sweep_chain_pallas(stat, nb, ctx_arrs, shared, u)
+            else:
+                outs = bp.sweep_chain_jnp(stat, nb, ctx_arrs, shared, u)
+            t_new, mut_new, kp_new, dG_p, dC_p, cnt_p = outs
+            Ps = t_p_s.shape[0]
+            n_cap = t_p_s.shape[1]
+            m_cap = mut_t_p_s.shape[1]
+            dt_p = t_new.reshape(Ps, stat.NC)[:, :n_cap] - t_p_s
+            dmut_p = mut_new.reshape(Ps, stat.MC)[:, :m_cap] - mut_t_p_s
+            dG, dC, cnt = (jnp.sum(dG_p), jnp.sum(dC_p),
+                           jnp.sum(cnt_p).astype(jnp.int64)
+                           if jax.config.x64_enabled
+                           else jnp.sum(cnt_p).astype(jnp.int32))
         else:
-            outs = bp.sweep_chain_jnp(stat, nb, ctx_arrs, shared, u)
-        t_new, mut_new, kp_new, dG_p, dC_p, cnt_p = outs
-        P = t_p.shape[0]
-        n_cap = t_p.shape[1]
-        m_cap = mut_t_p.shape[1]
-        dt_p = t_new.reshape(P, stat.NC)[:, :n_cap] - t_p
-        dmut_p = mut_new.reshape(P, stat.MC)[:, :m_cap] - mut_t_p
-        dG, dC, cnt = (jnp.sum(dG_p), jnp.sum(dC_p),
-                       jnp.sum(cnt_p).astype(jnp.int64)
-                       if jax.config.x64_enabled
-                       else jnp.sum(cnt_p).astype(jnp.int32))
-        dt, dmut = scatter_deltas(pm, N, M, dt_p, dmut_p)
-    elif mesh is None:
-        dt_p, dmut_p, dG, dC, cnt = sweep_deltas(
-            pm, ctx, k_p, t_p, mut_t_p, keys, sh, pop_params, n_blocks,
-            k_max, reform_batch)
-        dt, dmut = scatter_deltas(pm, N, M, dt_p, dmut_p)
+            dt_p, dmut_p, dG, dC, cnt = sweep_deltas(
+                pm_s, ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, sh,
+                pop_params, n_blocks, k_max, reform_batch)
+        dt, dmut = scatter_deltas(pm_s, N, M, dt_p, dmut_p)
+        return dt, dmut, dG, dC, cnt
+
+    if mesh is None:
+        dt, dmut, dG, dC, cnt = sweep_shard(ctx, k_p, t_p, mut_t_p, keys, pm)
     else:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
-        def body(ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, pm_s, sh_, pop_):
-            dt_p, dmut_p, dG, dC, cnt = sweep_deltas(
-                pm_s, ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, sh_, pop_,
-                n_blocks, k_max, reform_batch)
-            dt, dmut = scatter_deltas(pm_s, N, M, dt_p, dmut_p)
+        def body(ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, pm_s):
+            dt, dmut, dG, dC, cnt = sweep_shard(
+                ctx_s, k_p_s, t_p_s, mut_t_p_s, keys_s, pm_s)
             # reassembly collective: disjoint-support deltas summed over parts
+            # (the reference's Run::reassemble memcpy loop, run.cpp:195-275,
+            # as one psum riding ICI)
             dt = jax.lax.psum(dt, "part")
             dmut = jax.lax.psum(dmut, "part")
             dG = jax.lax.psum(dG, "part")
@@ -534,12 +544,11 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
         spec_p = jax.tree.map(lambda _: P("part"), (ctx, k_p, t_p, mut_t_p,
                                                     keys, pm))
-        spec_r = jax.tree.map(lambda _: P(), (sh, pop_params))
         dt, dmut, dG, dC, cnt = shard_map(
             body, mesh=mesh,
-            in_specs=spec_p + spec_r,
+            in_specs=spec_p,
             out_specs=(P(), P(), P(), P(), P()),
-        )(ctx, k_p, t_p, mut_t_p, keys, pm, sh, pop_params)
+        )(ctx, k_p, t_p, mut_t_p, keys, pm)
 
     ts = ts._replace(t=ts.t + dt, mut_t=ts.mut_t + dmut)
     # within-sweep coal deltas are under the AUGMENTED prior; the ledger's
@@ -552,17 +561,25 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
 
 @partial(jax.jit, static_argnames=("hyp", "num_cells", "n_boundaries",
-                                   "k_max", "reform_batch", "allow_pallas"))
+                                   "k_max", "reform_batch", "allow_pallas",
+                                   "mesh"))
 def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
                            pm, n_blocks, t_max_tip, hyp, num_cells: int,
                            n_boundaries: int, k_max: int, reform_batch: int,
-                           allow_pallas: bool = True):
-    """n_boundaries partitioned super-steps in ONE dispatch (vmap fan-out)."""
+                           allow_pallas: bool = True, mesh=None):
+    """n_boundaries partitioned super-steps in ONE dispatch.
+
+    mesh=None fans the parts out via vmap on one device; with a
+    jax.sharding.Mesh (axis "part") the same sweep runs under shard_map with
+    psum reassembly — the production multi-chip driver (the reference's
+    thread fan-out + reassemble, run.cpp:622-693, over ICI instead of a
+    thread pool).  Trajectories are bit-identical across the two modes."""
     def body(carry, _):
         ts, evo, pop_params, key = carry
         ts, evo, pop_params, key, ledger, stats = _boundary_body(
             ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
-            hyp, num_cells, k_max, reform_batch, allow_pallas=allow_pallas)
+            hyp, num_cells, k_max, reform_batch, mesh=mesh,
+            allow_pallas=allow_pallas)
         return (ts, evo, pop_params, key), (ledger, stats)
 
     (ts, evo, pop_params, key), (ledgers, stats_seq) = jax.lax.scan(
@@ -582,25 +599,12 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
 
 def make_mesh_multi_super_step(mesh, hyp, num_cells: int, n_boundaries: int,
                                k_max: int, reform_batch: int):
-    """Build the jitted multi-chip variant over a ("part",) mesh: identical
-    math to parts_multi_super_step, with the sweep shard_map'ed and
-    reassembly via psum (requires P % mesh.size == 0)."""
-    @jax.jit
+    """Jitted multi-chip variant over a ("part",) mesh — thin wrapper around
+    parts_multi_super_step(mesh=...) (requires P % mesh.size == 0)."""
     def step(ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip):
-        def body(carry, _):
-            ts, evo, pop_params, key = carry
-            ts, evo, pop_params, key, ledger, stats = _boundary_body(
-                ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
-                hyp, num_cells, k_max, reform_batch, mesh=mesh)
-            return (ts, evo, pop_params, key), (ledger, stats)
-
-        (ts, evo, pop_params, key), (ledgers, stats_seq) = jax.lax.scan(
-            body, (ts, evo, pop_params, key), None, length=n_boundaries)
-        ledger = jax.tree.map(lambda x: x[-1], ledgers)
-        stats = jax.tree.map(lambda x: x[-1], stats_seq)
-        stats = dict(
-            stats,
-            local_moves_attempted=stats_seq["local_moves_attempted"].sum())
+        ts, evo, pop_params, key, ledger, stats, _ = parts_multi_super_step(
+            ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
+            hyp, num_cells, n_boundaries, k_max, reform_batch, mesh=mesh)
         return ts, evo, pop_params, key, ledger, stats
 
     return step

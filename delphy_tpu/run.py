@@ -47,6 +47,7 @@ class Run:
                  topology_partitions: int = 0,
                  topology_parallel_processes: bool = True,
                  device_partitions: int = 0,
+                 mesh=None,
                  pop_model: str = "exp", skygrid_num_parameters: int = 50,
                  skygrid_cutoff_days: float | None = None,
                  skygrid_type: int = popm.STAIRCASE,
@@ -175,9 +176,19 @@ class Run:
         self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
 
         # device tree-partitioning (the reference's execution parallelism,
-        # run.cpp:682-693, re-designed as vmapped/shard_map'ed part sweeps)
+        # run.cpp:682-693, re-designed as vmapped/shard_map'ed part sweeps).
+        # With a jax.sharding.Mesh (axis "part"), the sweep runs under
+        # shard_map across its devices with psum reassembly; the partition
+        # count must then divide evenly over the mesh.
+        self.mesh = mesh
+        if mesh is not None and tuple(mesh.axis_names) != ("part",):
+            raise ValueError('Run mesh must have a single "part" axis')
         self.device_partitions = (device_partitions if device_partitions > 0
                                   else auto_num_partitions(tree.num_tips))
+        if mesh is not None:
+            D = int(mesh.size)
+            self.device_partitions = max(
+                D, (self.device_partitions + D - 1) // D * D)
         self._host_tree = tree          # topology/t synced at repartition
         self._n_cap_sticky = 0
         self._m_cap_sticky = 0
@@ -339,7 +350,7 @@ class Run:
                     self.tout, self.pm, n_blocks, self.t_max_tip, self.hyp,
                     self.num_cells, boundaries, self._sweep_k_max,
                     self._sweep_reform_batch,
-                    allow_pallas=self._allow_pallas)
+                    allow_pallas=self._allow_pallas, mesh=self.mesh)
             except Exception as e:  # Pallas VMEM overflow: fall back to XLA
                 msg = str(e)
                 if not (self._allow_pallas
@@ -356,7 +367,8 @@ class Run:
                     self.ts, self.evo, self.pop, self.key, self.tin,
                     self.tout, self.pm, n_blocks, self.t_max_tip, self.hyp,
                     self.num_cells, boundaries, self._sweep_k_max,
-                    self._sweep_reform_batch, allow_pallas=False)
+                    self._sweep_reform_batch, allow_pallas=False,
+                    mesh=self.mesh)
             self._inflight.append((self.last_stats["local_moves_attempted"],
                                    boundaries, n_blocks))
             # opportunistic non-blocking drain; cap the in-flight queue so the

@@ -101,6 +101,62 @@ def test_mesh_kbar_totals_match_global(mesh8):
                                atol=1e-9)
 
 
+def test_mesh_production_loop(mesh8):
+    """The FULL production loop under the mesh: Run(mesh=...) drives
+    do_mcmc_steps with topology bursts, multi-site chain reform, restencils
+    and partitioned sweeps across the 8 CPU devices — the user-reachable
+    multi-chip path (reference driver: run.cpp:622-693).  Asserts >= 3
+    topology bursts actually ran, the incremental log_G ledger survives the
+    whole loop, and tree integrity + tip data are preserved."""
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        48, 400, mu=2e-3, missing_fraction=0.02, seed=21)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(21))
+    run = Run(tree, seed=23, num_cells=64, local_moves_per_global_move=200,
+              device_partitions=8, mesh=mesh8, topology_moves_enabled=True)
+    run.topology_burst_chunks = 2  # force frequent bursts
+    assert run.pm.node_map.shape[0] == 8
+    bursts = 0
+    for _ in range(6):
+        before = run.topology_proposed
+        run.do_mcmc_steps(1200)
+        bursts += int(run.topology_proposed > before)
+    assert bursts >= 3, f"only {bursts} topology bursts ran under the mesh"
+    assert run.topology_proposed > 0
+    run.check_derived_quantities(tol=1e-6)
+    out = run.tree()
+    out.check_integrity()
+    # tip data preserved through mesh sweeps + bursts (missing sites are
+    # imputed by the sampler and legitimately change)
+    for i in range(5):
+        seq_a, seq_b = out.sequence_at(i), tree.sequence_at(i)
+        observed = np.ones(len(seq_a), bool)
+        for l in out.missing_sites_at(i):
+            observed[l] = False
+        np.testing.assert_array_equal(seq_a[observed], seq_b[observed])
+
+
+def test_mesh_run_matches_single_device_run(mesh8):
+    """Run(mesh=...) and Run(mesh=None) produce bit-identical trajectories
+    for the same seed (sweep RNG is per-part, reassembly is exact)."""
+    def drive(mesh):
+        ref, deltas, miss, dates, names, _ = simulate_dataset(
+            24, 200, mu=2e-3, seed=5)
+        tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                                 rng=np.random.default_rng(5))
+        run = Run(tree, seed=9, num_cells=64,
+                  local_moves_per_global_move=200, device_partitions=8,
+                  mesh=mesh, topology_moves_enabled=True)
+        run.do_mcmc_steps(2400)
+        return run
+
+    r_mesh = drive(mesh8)
+    r_one = drive(None)
+    assert float(r_mesh.ledger.log_G) == float(r_one.ledger.log_G)
+    assert np.array_equal(np.asarray(r_mesh.ts.t), np.asarray(r_one.ts.t))
+    assert r_mesh.topology_proposed == r_one.topology_proposed
+
+
 def test_mesh_determinism_and_ledger_invariant(mesh8):
     """Same seed + same mesh => identical trajectories (determinism contract,
     SURVEY A.9); and after mesh sweeps, incremental log_G equals the full
@@ -120,3 +176,43 @@ def test_mesh_determinism_and_ledger_invariant(mesh8):
     caches = gm.compute_caches(ts, evo)
     log_G = lk.calc_log_G(ts, evo, caches.lambda_i, caches.root_freq)
     assert abs(float(ledger.log_G) - float(log_G)) < 1e-6
+
+
+def test_cli_mesh_end_to_end(tmp_path):
+    """The user-reachable multi-chip path: `--mesh-devices 8` through the
+    full CLI (MAPLE in, BEAST log/trees out) on the 8-device CPU mesh —
+    the reference driver run.cpp:622-693 as one shard_map'ed program."""
+    import os
+    import subprocess
+    import sys
+
+    from delphy_tpu.io.fasta import TipData
+    from delphy_tpu.io.maple import write_maple
+    from delphy_tpu.dates import to_iso_date
+
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        16, 150, mu=2e-3, missing_fraction=0.02, seed=11)
+    tips = [TipData(name=f"s{i}|{to_iso_date(dates[i][0])}", t_min=dates[i][0],
+                    t_max=dates[i][1], deltas=deltas[i],
+                    miss_intervals=miss[i])
+            for i in range(16)]
+    mp = tmp_path / "in.maple"
+    write_maple(mp, "ref", ref, tips)
+
+    log_f = tmp_path / "out.log"
+    env = dict(os.environ)
+    env["DELPHY_TPU_FORCE_CPU"] = "1"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "delphy_tpu.cli",
+         "--v0-in-maple", str(mp), "--v0-steps", "4000",
+         "--mesh-devices", "8",
+         "--v0-out-log-file", str(log_f), "--v0-seed", "13"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Sharding partitioned sweeps over 8 devices" in r.stderr
+    log_lines = log_f.read_text().strip().split("\n")
+    assert log_lines[0].startswith("Sample\tposterior")
+    assert len(log_lines) >= 2
