@@ -76,39 +76,92 @@ static inline bool mut_less(const Mut& a, const Mut& b) {
   return a.site < b.site;
 }
 
-// ---- sorted-site-set helpers (Python: plain `set` of sites) ---------------
+// ---- interval-run site-set helpers -----------------------------------------
+// Missations come in long consecutive runs (structured missingness at
+// sequence ends / primer dropouts), so site sets are kept as sorted disjoint
+// non-adjacent half-open runs [b, e) — the reference's Interval_set
+// (core/interval_set.h:14-29) — making all set algebra O(#runs) instead of
+// O(#sites).  Invariant: b < e, runs sorted by b, gaps > 0 between runs.
 
-using Sites = std::vector<int32_t>;  // sorted, unique
+struct SiteRun {
+  int32_t b, e;
+  friend bool operator==(const SiteRun& x, const SiteRun& y) {
+    return x.b == y.b && x.e == y.e;
+  }
+};
+
+using Sites = std::vector<SiteRun>;
 
 static inline bool sites_contains(const Sites& s, int32_t l) {
-  return std::binary_search(s.begin(), s.end(), l);
+  auto it = std::upper_bound(
+      s.begin(), s.end(), l,
+      [](int32_t v, const SiteRun& r) { return v < r.b; });
+  return it != s.begin() && l < (it - 1)->e;
 }
 
-static inline void sites_insert(Sites& s, int32_t l) {
-  auto it = std::lower_bound(s.begin(), s.end(), l);
-  if (it == s.end() || *it != l) s.insert(it, l);
+static inline int64_t sites_size(const Sites& s) {
+  int64_t n = 0;
+  for (const SiteRun& r : s) n += r.e - r.b;
+  return n;
+}
+
+// append [b, e) known to start at or after every existing run's start;
+// coalesces with the trailing run when overlapping or adjacent
+static inline void sites_append(Sites& s, int32_t b, int32_t e) {
+  if (b >= e) return;
+  if (!s.empty() && b <= s.back().e) {
+    if (e > s.back().e) s.back().e = e;
+  } else {
+    s.push_back(SiteRun{b, e});
+  }
 }
 
 static inline Sites sites_union(const Sites& a, const Sites& b) {
   Sites out;
   out.reserve(a.size() + b.size());
-  std::set_union(a.begin(), a.end(), b.begin(), b.end(),
-                 std::back_inserter(out));
+  size_t i = 0, j = 0;
+  while (i < a.size() || j < b.size()) {
+    const SiteRun& r = (j >= b.size() || (i < a.size() && a[i].b <= b[j].b))
+                           ? a[i++]
+                           : b[j++];
+    sites_append(out, r.b, r.e);
+  }
   return out;
 }
 
 static inline Sites sites_minus(const Sites& a, const Sites& b) {
   Sites out;
-  out.reserve(a.size());
-  std::set_difference(a.begin(), a.end(), b.begin(), b.end(),
-                      std::back_inserter(out));
+  out.reserve(a.size() + b.size());
+  size_t j = 0;
+  for (const SiteRun& r : a) {
+    int32_t lo = r.b;
+    while (j < b.size() && b[j].e <= lo) j++;
+    size_t jj = j;
+    while (lo < r.e) {
+      if (jj >= b.size() || b[jj].b >= r.e) {
+        out.push_back(SiteRun{lo, r.e});
+        break;
+      }
+      if (b[jj].b > lo) out.push_back(SiteRun{lo, b[jj].b});
+      lo = b[jj].e;
+      jj++;
+    }
+  }
   return out;
 }
 
 static inline Sites sites_intersect(const Sites& a, const Sites& b) {
   Sites out;
-  std::set_intersection(a.begin(), a.end(), b.begin(), b.end(),
-                        std::back_inserter(out));
+  size_t i = 0, j = 0;
+  while (i < a.size() && j < b.size()) {
+    int32_t lo = std::max(a[i].b, b[j].b);
+    int32_t hi = std::min(a[i].e, b[j].e);
+    if (lo < hi) out.push_back(SiteRun{lo, hi});
+    if (a[i].e <= b[j].e)
+      i++;
+    else
+      j++;
+  }
   return out;
 }
 
@@ -119,7 +172,7 @@ struct SiteSet {
   Sites s;
 
   int64_t size(int32_t L) const {
-    return complement ? (int64_t)L - (int64_t)s.size() : (int64_t)s.size();
+    return complement ? (int64_t)L - sites_size(s) : sites_size(s);
   }
   bool contains(int32_t l) const {
     bool in = sites_contains(s, l);
@@ -899,7 +952,6 @@ struct SprContext {
   Deltas mv_new_deltas;
   std::vector<Mut> mv_merged;
   std::vector<int32_t> mv_path_up;
-  std::vector<int32_t> mv_gather;
 
   double qa(int32_t l, int a) const { return qatab[part[l] * 4 + a]; }
   double qrate(int32_t l, int a, int b) const {
@@ -928,9 +980,9 @@ struct SprContext {
     double out = 0.0;
     for (const Mut& m : nd.muts)
       out += mu * nu[m.site] * (qa(m.site, m.to) - qa(m.site, m.from));
-    // missations: stored as a site set; subtract per-site ref rate, then
-    // correct for non-ref from_states
-    for (int32_t l : nd.miss) out -= ref_cum_Q[l + 1] - ref_cum_Q[l];
+    // missations: stored as interval runs; subtract the telescoped ref
+    // rate per run, then correct for non-ref from_states
+    for (const SiteRun& r : nd.miss) out -= ref_cum_Q[r.e] - ref_cum_Q[r.b];
     for (const auto& kv : nd.fs)
       out -= mu * nu[kv.first] *
              (qa(kv.first, kv.second) - qa(kv.first, tree.ref_seq[kv.first]));
@@ -950,18 +1002,11 @@ struct SprContext {
   // lambda contribution of a sliding missation set just above its position
   double lam_over_miss(const Sites& sites,
                        const FlatMap<int8_t>& from) const {
-    // ref-state part telescopes over consecutive-site runs via the
-    // ref_cum_Q prefix sums (missations come in long runs, so this is
-    // O(runs) instead of O(sites) heavy loads); the few from-state
-    // exceptions are corrected from the (small) fs map afterwards
+    // ref-state part telescopes over each run via the ref_cum_Q prefix
+    // sums — O(#runs); the few from-state exceptions are corrected from
+    // the (small) fs map afterwards
     double out = 0.0;
-    size_t n = sites.size();
-    for (size_t i = 0; i < n;) {
-      size_t j = i + 1;
-      while (j < n && sites[j] == sites[j - 1] + 1) j++;
-      out += ref_cum_Q[sites[j - 1] + 1] - ref_cum_Q[sites[i]];
-      i = j;
-    }
+    for (const SiteRun& r : sites) out += ref_cum_Q[r.e] - ref_cum_Q[r.b];
     for (const auto& kv : from) {
       int32_t l = kv.first;
       if (!sites_contains(sites, l)) continue;
@@ -974,7 +1019,7 @@ struct SprContext {
     int64_t out = 0;
     int32_t cur = node;
     while (cur != NO_NODE) {
-      out += (int64_t)tree.nodes[cur].miss.size();
+      out += sites_size(tree.nodes[cur].miss);
       cur = tree.nodes[cur].parent;
     }
     return out;
@@ -1005,10 +1050,11 @@ struct SprContext {
   }
 
   void miss_at_or_above(int32_t node, Sites& out) const {
-    // single gather + sort instead of repeated set_unions up the root path
-    // (ancestor miss sets are disjoint after canonical factoring, but a
-    // sort+unique keeps this robust to transient non-canonical states);
-    // fills a caller-owned scratch so the hot path never allocates
+    // single run gather + sort + coalesce instead of repeated set_unions up
+    // the root path (ancestor miss sets are disjoint after canonical
+    // factoring, but the coalescing merge keeps this robust to transient
+    // non-canonical states); fills a caller-owned scratch so the hot path
+    // never allocates
     out.clear();
     int32_t cur = node;
     while (cur != NO_NODE) {
@@ -1016,8 +1062,17 @@ struct SprContext {
       out.insert(out.end(), m.begin(), m.end());
       cur = tree.nodes[cur].parent;
     }
-    std::sort(out.begin(), out.end());
-    out.erase(std::unique(out.begin(), out.end()), out.end());
+    std::sort(out.begin(), out.end(),
+              [](const SiteRun& x, const SiteRun& y) { return x.b < y.b; });
+    size_t w = 0;
+    for (size_t i = 0; i < out.size(); i++) {
+      if (w > 0 && out[i].b <= out[w - 1].e) {
+        if (out[i].e > out[w - 1].e) out[w - 1].e = out[i].e;
+      } else {
+        out[w++] = out[i];
+      }
+    }
+    out.resize(w);
   }
 
   // -- analysis -------------------------------------------------------------
@@ -1599,33 +1654,23 @@ struct SprContext {
     double old_t_P = t.nodes[P].t;
 
     // 2. detach: X inherits every missation at or above its old position.
-    // Gather ancestor sites first (deepest ancestor wins on duplicates,
-    // matching the old insert-as-you-go order), then merge once — the old
-    // per-site sorted-insert was O(|miss|^2)
+    // Run union accumulated bottom-up (deepest ancestor wins on transient
+    // duplicates); from-states move via the small fs maps — only non-ref
+    // from-states have entries, and emplace preserves X's own / deeper
+    // entries, so no per-site work is ever done
     Sites miss_X = t.nodes[X].miss;
     {
-      std::vector<int32_t>& gather = mv_gather;
-      gather.clear();
       int32_t cur = P;
       while (cur != NO_NODE) {
-        for (int32_t l : t.nodes[cur].miss) {
-          if (sites_contains(miss_X, l)) continue;
-          bool dup = false;
-          for (int32_t g : gather)
-            if (g == l) { dup = true; break; }
-          if (dup) continue;
-          gather.push_back(l);
-          set_from_state(t, X, l, get_from_state(t, cur, l));
+        const Node& nd = t.nodes[cur];
+        if (!nd.miss.empty()) {
+          for (const auto& kv : nd.fs)
+            if (sites_contains(nd.miss, kv.first) &&
+                !sites_contains(miss_X, kv.first))
+              t.nodes[X].fs.emplace(kv.first, kv.second);
+          miss_X = sites_union(miss_X, nd.miss);
         }
         cur = t.nodes[cur].parent;
-      }
-      if (!gather.empty()) {
-        std::sort(gather.begin(), gather.end());
-        Sites merged;
-        merged.reserve(miss_X.size() + gather.size());
-        std::set_union(miss_X.begin(), miss_X.end(), gather.begin(),
-                       gather.end(), std::back_inserter(merged));
-        miss_X = std::move(merged);
       }
     }
     t.nodes[X].miss = miss_X;
@@ -1676,11 +1721,22 @@ struct SprContext {
         int32_t c0 = t.nodes[cur].c0, c1 = t.nodes[cur].c1;
         Sites common = sites_intersect(t.nodes[c0].miss, t.nodes[c1].miss);
         if (common.empty()) break;
-        for (int32_t l : common) {
-          int8_t fs = get_from_state(t, c0, l);
-          set_from_state(t, cur, l, fs);
-          t.nodes[c0].fs.erase(l);
-          t.nodes[c1].fs.erase(l);
+        // from-states: only non-ref ones have fs entries; move c0's entries
+        // in `common` up to cur (cur had no entry — the site was not in its
+        // miss), drop both children's
+        for (auto it = t.nodes[c0].fs.begin(); it != t.nodes[c0].fs.end();) {
+          if (sites_contains(common, it->first)) {
+            t.nodes[cur].fs[it->first] = it->second;
+            it = t.nodes[c0].fs.erase(it);
+          } else {
+            ++it;
+          }
+        }
+        for (auto it = t.nodes[c1].fs.begin(); it != t.nodes[c1].fs.end();) {
+          if (sites_contains(common, it->first))
+            it = t.nodes[c1].fs.erase(it);
+          else
+            ++it;
         }
         t.nodes[c0].miss = sites_minus(t.nodes[c0].miss, common);
         t.nodes[c1].miss = sites_minus(t.nodes[c1].miss, common);
@@ -1725,19 +1781,26 @@ struct SprContext {
       int32_t W = path_up[wi];
       Sites need = sites_minus(t.nodes[W].miss, miss_X);
       if (need.empty()) continue;
-      for (int32_t l : need) {
-        int8_t fs = get_from_state(t, W, l);
-        t.nodes[W].fs.erase(l);
-        for (size_t di = wi; di > 0; di--) {
-          int32_t d = path_up[di];
-          int32_t on_path = path_up[di - 1];
-          int32_t other = t.sibling(d, on_path);
-          sites_insert(t.nodes[other].miss, l);
-          set_from_state(t, other, l, fs);
+      // non-ref from-states propagate from W's small fs map to every
+      // off-path sibling and SS (they gain these sites, so they had no
+      // entries); miss updates are whole-run unions per node
+      for (auto it = t.nodes[W].fs.begin(); it != t.nodes[W].fs.end();) {
+        if (sites_contains(need, it->first)) {
+          for (size_t di = wi; di > 0; di--) {
+            int32_t other = t.sibling(path_up[di], path_up[di - 1]);
+            t.nodes[other].fs[it->first] = it->second;
+          }
+          t.nodes[SS].fs[it->first] = it->second;
+          it = t.nodes[W].fs.erase(it);
+        } else {
+          ++it;
         }
-        sites_insert(t.nodes[SS].miss, l);
-        set_from_state(t, SS, l, fs);
       }
+      for (size_t di = wi; di > 0; di--) {
+        int32_t other = t.sibling(path_up[di], path_up[di - 1]);
+        t.nodes[other].miss = sites_union(t.nodes[other].miss, need);
+      }
+      t.nodes[SS].miss = sites_union(t.nodes[SS].miss, need);
       t.nodes[W].miss = sites_minus(t.nodes[W].miss, need);
     }
 
@@ -1752,7 +1815,12 @@ struct SprContext {
       }
       Sites overlap = sites_intersect(covered, miss_X);
       if (!overlap.empty()) {
-        for (int32_t l : overlap) t.nodes[X].fs.erase(l);
+        for (auto it = t.nodes[X].fs.begin(); it != t.nodes[X].fs.end();) {
+          if (sites_contains(overlap, it->first))
+            it = t.nodes[X].fs.erase(it);
+          else
+            ++it;
+        }
         t.nodes[X].miss = sites_minus(miss_X, overlap);
         miss_X = t.nodes[X].miss;
       }
@@ -1787,11 +1855,21 @@ struct SprContext {
       Sites miss_SS = t.nodes[SS].miss;
       Sites common = sites_intersect(miss_X, miss_SS);
       if (!common.empty()) {
-        for (int32_t l : common) {
-          int8_t fs = get_from_state(t, X, l);
-          set_from_state(t, P, l, fs);
-          t.nodes[X].fs.erase(l);
-          t.nodes[SS].fs.erase(l);
+        // X's non-ref from-states in `common` move up to P (which had no
+        // entries for them); SS's entries in `common` are dropped
+        for (auto it = t.nodes[X].fs.begin(); it != t.nodes[X].fs.end();) {
+          if (sites_contains(common, it->first)) {
+            t.nodes[P].fs[it->first] = it->second;
+            it = t.nodes[X].fs.erase(it);
+          } else {
+            ++it;
+          }
+        }
+        for (auto it = t.nodes[SS].fs.begin(); it != t.nodes[SS].fs.end();) {
+          if (sites_contains(common, it->first))
+            it = t.nodes[SS].fs.erase(it);
+          else
+            ++it;
         }
         t.nodes[X].miss = sites_minus(miss_X, common);
         t.nodes[SS].miss = sites_minus(miss_SS, common);
@@ -2069,7 +2147,7 @@ struct SprStudy {
       : tree(*builder.tree_p), lambda_X(lambda_X_), f(annealing_factor),
         t_X(t_X_), t_max_tip(t_max_tip_), regions(builder.result) {
     mu = lambda_X /
-         (double)((int64_t)tree.L - (int64_t)builder.missing_at_X_p->size());
+         (double)((int64_t)tree.L - sites_size(*builder.missing_at_X_p));
     if (regions.empty()) throw std::runtime_error("SPR study empty");
 
     for (CandidateRegion& r : regions) {
@@ -2516,7 +2594,7 @@ extern "C" int32_t delphy_run_topo_burst(
       for (int64_t i = mut_off[n]; i < mut_off[n + 1]; i++)
         nd.muts.push_back(Mut{mut_site[i], mut_from[i], mut_to[i], mut_t[i]});
       for (int64_t i = miss_off[n]; i < miss_off[n + 1]; i++)
-        for (int32_t l = miss_s[i]; l < miss_e[i]; l++) nd.miss.push_back(l);
+        sites_append(nd.miss, miss_s[i], miss_e[i]);
       for (int64_t i = fs_off[n]; i < fs_off[n + 1]; i++)
         nd.fs[fs_site[i]] = fs_state[i];
     }
@@ -2570,13 +2648,7 @@ extern "C" int32_t delphy_run_topo_burst(
     int64_t mut_total = 0, miss_total = 0, fs_total = 0;
     for (int32_t n = 0; n < N; n++) {
       mut_total += (int64_t)tr.nodes[n].muts.size();
-      const Sites& ms = tr.nodes[n].miss;
-      for (size_t i = 0; i < ms.size();) {  // count intervals
-        size_t j = i + 1;
-        while (j < ms.size() && ms[j] == ms[j - 1] + 1) j++;
-        miss_total++;
-        i = j;
-      }
+      miss_total += (int64_t)tr.nodes[n].miss.size();
       fs_total += (int64_t)tr.nodes[n].fs.size();
     }
     if (mut_total > mut_cap || miss_total > miss_cap || fs_total > fs_cap)
@@ -2598,14 +2670,10 @@ extern "C" int32_t delphy_run_topo_burst(
         mo++;
       }
       out_miss_off[n] = io;
-      const Sites& ms = nd.miss;
-      for (size_t i = 0; i < ms.size();) {
-        size_t j = i + 1;
-        while (j < ms.size() && ms[j] == ms[j - 1] + 1) j++;
-        out_miss_s[io] = ms[i];
-        out_miss_e[io] = ms[j - 1] + 1;
+      for (const SiteRun& r : nd.miss) {
+        out_miss_s[io] = r.b;
+        out_miss_e[io] = r.e;
         io++;
-        i = j;
       }
       out_fs_off[n] = fo;
       std::vector<std::pair<int32_t, int8_t>> fss(nd.fs.begin(), nd.fs.end());
