@@ -46,7 +46,7 @@ def main():
               file=sys.stderr, flush=True)
         sys.exit(3)
     import numpy as np
-    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.io.maple import read_maple
     from delphy_tpu.init_tree import build_initial_tree
     from delphy_tpu.run import Run
 
@@ -55,13 +55,17 @@ def main():
               file=sys.stderr, flush=True)
 
     t_start = time.time()
-    # Ebola-scale: 81 tips x ~19k sites
-    T, L = 81, 18959
-    ref, deltas, miss, dates, names, _ = simulate_dataset(
-        T, L, mu=1.2e-3 / 365.0 * 19000 / L, sample_window_days=500.0,
-        missing_fraction=0.01, seed=42)
-    note("dataset simulated")
-    tree = build_initial_tree(ref, deltas, miss, dates, names=names,
+    # FROZEN Ebola-scale dataset (81 tips x 18,959 sites, Gire-2014-like
+    # structured missingness; scripts/make_frozen_benchmark.py) parsed
+    # through the production MAPLE input path — the same bytes every round.
+    mf = read_maple(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "data", "ebola2014_like_81x18959.maple"))
+    tips = mf.tips
+    note(f"frozen dataset parsed ({len(tips)} tips x {len(mf.ref_seq)} sites)")
+    tree = build_initial_tree(mf.ref_seq, [t.deltas for t in tips],
+                              [t.miss_intervals for t in tips],
+                              [(t.t_min, t.t_max) for t in tips],
+                              names=[t.name for t in tips],
                               rng=np.random.default_rng(42))
     note("tree built")
     run = Run(tree, seed=1, num_cells=400)

@@ -314,3 +314,34 @@ def test_newick_attributes_and_quoted_labels():
     assert b.attributes.get("mut") == "A1G"
     assert root.attributes.get("posterior") == "0.97"
     assert abs(a.length - 1.5) < 1e-12 and abs(b.length - 2.0) < 1e-12
+
+
+def test_frozen_benchmark_dataset_cli(tmp_path):
+    """The frozen Ebola-like benchmark dataset (data/, generated once by
+    scripts/make_frozen_benchmark.py) parses through the FULL CLI path and
+    runs; its summary statistics stay in the published Gire-2014 envelope
+    (81 genomes x 18,959 sites, per-tip missingness 0-2.7%)."""
+    from delphy_tpu.io.maple import read_maple
+
+    path = "/root/repo/data/ebola2014_like_81x18959.maple"
+    mf = read_maple(path)
+    assert len(mf.tips) == 81
+    assert len(mf.ref_seq) == 18959
+    for t in mf.tips:
+        n_miss = sum(e - s for s, e in t.miss_intervals)
+        assert 0 <= n_miss <= 0.027 * 18959
+        assert "|" in t.name  # ISO-dated names, reference format
+
+    log_f = tmp_path / "out.log"
+    env = dict(os.environ)
+    env["DELPHY_TPU_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "delphy_tpu.cli",
+         "--v0-in-maple", path, "--v0-steps", "3000",
+         "--v0-out-log-file", str(log_f), "--v0-seed", "2"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    log_lines = log_f.read_text().strip().split("\n")
+    assert log_lines[0].startswith("Sample\tposterior")
+    assert len(log_lines) >= 2
