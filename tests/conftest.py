@@ -9,7 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DELPHY_TPU_TEST_TPU=1 runs the suite against the real TPU backend instead
+# (used each round to execute the TPU-only Pallas equivalence tests,
+# doc/BENCH_LOG: "TPU-side test evidence")
+if not os.environ.get("DELPHY_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -164,3 +164,43 @@ def test_pallas_interpret_matches_twin():
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_r))
     np.testing.assert_allclose(np.asarray(dG_p), np.asarray(dG_r),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real Mosaic lowering needs a TPU backend")
+def test_pallas_tpu_matches_twin():
+    """The REAL Mosaic kernel (not interpret mode) reproduces the XLA twin
+    on the same chip with the same pre-generated uniforms — the in-CI TPU
+    evidence that the production sweep kernel computes what its twin does."""
+    run = _make_run(seed=31, P=4)
+    (ts, evo, pop_params, grid, caches, ledger, ctx, sh, k_p, t_p, mut_t_p,
+     k_sweep, pm) = _boundary_context(run)
+    NB = 8
+    f32 = jnp.float32
+    to32 = lambda tree: jax.tree.map(
+        lambda a: a.astype(f32) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+    ctx, sh, pop_params = to32(ctx), to32(sh), to32(pop_params)
+    k_p, t_p, mut_t_p = (k_p.astype(f32), t_p.astype(f32),
+                         mut_t_p.astype(f32))
+    stat, ctx_arrs, shared = bp.pack_chain_inputs(
+        ctx, sh, pop_params, k_p, t_p, mut_t_p, cpb=16)
+    u = bp.gen_block_uniforms(k_sweep, k_p.shape[0], NB, stat.NC, stat.MC,
+                              dtype=f32)
+
+    ref_out = jax.jit(bp.sweep_chain_jnp, static_argnames=("stat",))(
+        stat, NB, ctx_arrs, shared, u)
+    pal_out = bp.sweep_chain_pallas(stat, NB, ctx_arrs, shared, u)
+
+    t_r, mut_r, kp_r, dG_r, dC_r, cnt_r = ref_out
+    t_pal, mut_pal, kp_pal, dG_p, dC_p, cnt_p = pal_out
+    # same accept/reject decisions => identical counts and matching states
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_r))
+    np.testing.assert_allclose(np.asarray(t_pal).reshape(-1),
+                               np.asarray(t_r).reshape(-1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(mut_pal).reshape(-1),
+                               np.asarray(mut_r).reshape(-1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(kp_pal).reshape(-1),
+                               np.asarray(kp_r).reshape(-1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dG_p), np.asarray(dG_r),
+                               rtol=1e-3, atol=1e-3)
