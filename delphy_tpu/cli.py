@@ -146,6 +146,10 @@ class _CliError(Exception):
 
 
 def main(argv=None) -> int:
+    # multi-host: rendezvous BEFORE any backend use, so jax.devices() is the
+    # global list and --mesh-devices spans hosts (parallel/distributed.py)
+    from .parallel.distributed import initialize_from_env
+    initialize_from_env()
     args = build_parser().parse_args(argv)
     try:
         return _main(args)

@@ -355,7 +355,8 @@ class Run:
                 msg = str(e)
                 if not (self._allow_pallas
                         and ("vmem" in msg or "Mosaic" in msg
-                             or "pallas" in msg.lower())):
+                             or "pallas" in msg.lower()
+                             or "64-bit types are not supported" in msg)):
                     raise
                 import sys as _sys
                 print("delphy_tpu: Pallas sweep kernel exceeded VMEM for "

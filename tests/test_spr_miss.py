@@ -1,0 +1,109 @@
+"""Device SPR-with-missations machinery (ops/spr_miss.py) vs the host graft
+oracle (topo/graft.py, itself pinned to the native production kernel)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from delphy_tpu.sim import simulate_dataset
+from delphy_tpu.phylo import build_random_tree, rereference_to_root_sequence
+from delphy_tpu.topo.graft import SprContext
+from delphy_tpu.evo import make_evo_params
+from delphy_tpu.ops import spr_miss as sm
+from delphy_tpu.ops import runset as rsn
+
+
+def _make_tree(T=24, L=400, seed=3, missing_fraction=0.08):
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=2e-3, missing_fraction=missing_fraction, seed=seed)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names,
+                             rng=np.random.default_rng(seed))
+    rereference_to_root_sequence(tree)
+    tree.check_integrity()
+    return tree
+
+
+def _ctx_and_pack(tree, mu=2e-3, kappa=2.0):
+    L = tree.num_sites
+    evo = make_evo_params(L, mu=mu, kappa=kappa)
+    ctx = SprContext(tree, mu, np.asarray(evo.nu), np.asarray(evo.q),
+                     np.asarray(evo.pi), can_change_root=False)
+    p = sm.pack_tree_miss(tree)
+    args = dict(
+        mu=jnp.float64(mu), nu=jnp.asarray(evo.nu),
+        qatab=jnp.asarray(ctx.qa_tab.reshape(-1)),
+        qtab=jnp.asarray(ctx.q_tab.reshape(-1)),
+        part=jnp.asarray(ctx.part),
+        ref_cum_Q=jnp.asarray(ctx.ref_cum_Q),
+        ref_seq=jnp.asarray(tree.ref_seq.astype(np.int32)),
+        lambda_ref=jnp.float64(ctx.lambda_ref),
+    )
+    return ctx, p, args
+
+
+def test_pack_unpack_roundtrip():
+    tree = _make_tree()
+    p = sm.pack_tree_miss(tree)
+    out = sm.unpack_tree_miss(p, tree)
+    out.check_integrity()
+    for n in range(tree.num_nodes):
+        assert out.miss_intervals[n] == tree.miss_intervals[n]
+        assert out.miss_from_states[n] == tree.miss_from_states[n]
+        assert out.mutations[n] == tree.mutations[n]
+
+
+def test_lambda_and_missing_reads_match_host():
+    tree = _make_tree()
+    ctx, p, a = _ctx_and_pack(tree)
+    lam = jax.jit(jax.vmap(lambda X: sm.lambda_at_dev_miss(
+        p, X, a["lambda_ref"], a["mu"], a["nu"], a["qatab"], a["part"],
+        a["ref_cum_Q"], a["ref_seq"])))(jnp.arange(tree.num_nodes))
+    nm = jax.jit(jax.vmap(lambda X: sm.num_missing_at_dev(p, X)))(
+        jnp.arange(tree.num_nodes))
+    for n in range(tree.num_nodes):
+        assert float(lam[n]) == pytest.approx(ctx.lambda_at(n), rel=1e-12,
+                                              abs=1e-12)
+        assert int(nm[n]) == ctx.num_missing_at(n)
+
+
+def test_missing_at_row_matches_host():
+    tree = _make_tree(seed=7)
+    ctx, p, a = _ctx_and_pack(tree)
+    WR = 32
+    L = tree.num_sites
+    for X in range(tree.num_nodes):
+        rs, re, cnt, ok = jax.jit(sm.missing_at_row,
+                                  static_argnames=("WR_out",))(p, X, WR_out=WR)
+        assert bool(ok)
+        mask = np.asarray(rsn.contains_many(rs, re, jnp.arange(L)))
+        expect = np.array([ctx._is_site_missing_at(X, s) for s in range(L)])
+        np.testing.assert_array_equal(mask, expect)
+
+
+def test_fs_row_ops():
+    ref_seq = jnp.asarray(np.array([0, 1, 2, 3] * 4, np.int32))
+    fsite = jnp.asarray(np.array([3, 7, -1, -1], np.int32))
+    fstate = jnp.asarray(np.array([1, 0, 0, 0], np.int32))
+    # get: present / absent
+    assert int(sm.fs_get(fsite, fstate, ref_seq, jnp.int32(3))) == 1
+    assert int(sm.fs_get(fsite, fstate, ref_seq, jnp.int32(5))) == 1  # ref
+    # set to ref erases
+    fs2, st2, ok = sm.fs_set(fsite, fstate, ref_seq, jnp.int32(3),
+                             jnp.int32(3))
+    assert bool(ok) and 3 not in np.asarray(fs2).tolist()
+    # upsert
+    fs3, st3, ok = sm.fs_set(fsite, fstate, ref_seq, jnp.int32(7),
+                             jnp.int32(2))
+    assert bool(ok)
+    i = np.asarray(fs3).tolist().index(7)
+    assert int(st3[i]) == 2
+    # append
+    fs4, st4, ok = sm.fs_set(fsite, fstate, ref_seq, jnp.int32(9),
+                             jnp.int32(3))
+    assert bool(ok) and 9 in np.asarray(fs4).tolist()
+    # overflow
+    full_s = jnp.asarray(np.array([0, 4, 8, 12], np.int32))
+    full_v = jnp.asarray(np.array([1, 1, 1, 1], np.int32))
+    _, _, ok = sm.fs_set(full_s, full_v, ref_seq, jnp.int32(9), jnp.int32(3))
+    assert not bool(ok)
