@@ -272,3 +272,282 @@ def lam_over_miss_dev(rs, re, cnt, fsite_row, fstate_row, in_set_mask,
                            - _qa_at(qatab, part, fsi,
                                     ref_seq[fsi].astype(jnp.int32)))
     return out + jnp.sum(jnp.where(fsel, corr, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Graft analysis: the sliding-set walk (host twin: graft.py _start_inner,
+# can_change_root=False; reference spr_move.cpp:582-740)
+# ---------------------------------------------------------------------------
+
+
+def _widen_row(row, WRB: int):
+    """Pad a node-width run row to the analysis width WRB (requires
+    WRB >= node width; enforced at trace time)."""
+    WRn = row.shape[0]
+    assert WRB >= WRn, (WRB, WRn)
+    return jnp.concatenate([row, jnp.full(WRB - WRn, rsn.BIG, jnp.int32)]) \
+        if WRB > WRn else row
+
+
+def _sibling_dev(p, parent, child):
+    c0 = p["children"][parent, 0]
+    c1 = p["children"][parent, 1]
+    return jnp.where(c0 == child, c1, c0)
+
+
+def _mut_dlam(p, node, mu, nu, qatab, part, sign=+1):
+    """Sum over node's mutations of mu*nu*(qa(to)-qa(from)) (sign=+1) or the
+    reverse (sign=-1)."""
+    W = p["msite"].shape[1]
+    sel = jnp.arange(W) < p["mcount"][node]
+    s = jnp.maximum(p["msite"][node], 0)
+    d = mu * nu[s] * (_qa_at(qatab, part, s, p["mto"][node])
+                      - _qa_at(qatab, part, s, p["mfrom"][node]))
+    return sign * jnp.sum(jnp.where(sel, d, 0.0))
+
+
+def _first_occurrence_per_site(msite, mask):
+    """mask restricted to the FIRST (earliest, rows are time-sorted) masked
+    occurrence of each site."""
+    W = msite.shape[0]
+    same_before = (msite[None, :] == msite[:, None]) & mask[None, :] \
+        & (jnp.arange(W)[None, :] < jnp.arange(W)[:, None])
+    return mask & ~jnp.any(same_before, axis=1)
+
+
+def start_inner_dev(p, X, c, WRB: int, WH_: int = WH):
+    """Device _start_inner (graft.py:300-397), can_change_root=False.
+
+    Returns (G, ok) where G holds per-branch-info arrays over BI_MAX slots:
+      A, B (int32), T (f64), active (bool),
+      hot/warm as run rows (BI_MAX, WRB) + counts; slot 0's sets are
+      complements (row stores the EXCLUDED sites: empty for warm, miss_S for
+      hot) flagged by compl[k],
+      plA, plX (f64), hot mutations hm_* (BI_MAX, WH) + hm_cnt,
+      hot deltas hd_* (BI_MAX, WH) + hd_cnt (site-sorted).
+    """
+    mu, nu, qatab, qtab, part = c["mu"], c["nu"], c["qatab"], c["qtab"], \
+        c["part"]
+    ref_cum_Q, ref_seq, lambda_ref = c["ref_cum_Q"], c["ref_seq"], \
+        c["lambda_ref"]
+    parent_a, t = p["parent"], p["t"]
+    N, W = p["msite"].shape
+    WFS = p["fsite"].shape[1]
+    root = p["root"]
+    X = jnp.asarray(X, jnp.int32)
+    P = parent_a[X]
+    S = _sibling_dev(p, P, X)
+    t_X = t[X]
+    t_P = t[P]
+
+    # --- slot 0 (P->X level) ---
+    A_arr = jnp.full(BI_MAX, -1, jnp.int32).at[0].set(P)
+    B_arr = jnp.full(BI_MAX, -1, jnp.int32).at[0].set(X)
+    T_arr = jnp.zeros(BI_MAX).at[0].set(t_X - t_P)
+    active = jnp.zeros(BI_MAX, bool).at[0].set(True)
+    compl_ = jnp.zeros(BI_MAX, bool).at[0].set(True)
+    warm_rs = jnp.full((BI_MAX, WRB), rsn.BIG, jnp.int32)
+    warm_re = jnp.full((BI_MAX, WRB), rsn.BIG, jnp.int32)
+    warm_cnt = jnp.zeros(BI_MAX, jnp.int32)       # slot 0: excluded = empty
+    hot_rs = jnp.full((BI_MAX, WRB), rsn.BIG, jnp.int32)
+    hot_re = jnp.full((BI_MAX, WRB), rsn.BIG, jnp.int32)
+    hot_cnt = jnp.zeros(BI_MAX, jnp.int32)
+    WRn = p["rs"].shape[1]
+    hot_rs = hot_rs.at[0].set(_widen_row(p["rs"][S], WRB))
+    hot_re = hot_re.at[0].set(_widen_row(p["re"][S], WRB))
+    hot_cnt = hot_cnt.at[0].set(p["rcnt"][S])     # excluded = miss_S
+    plA = jnp.zeros(BI_MAX)
+    plX = jnp.zeros(BI_MAX)
+
+    # sliding set starts as miss_S, sliding from-states as S's fs row
+    srs = _widen_row(p["rs"][S], WRB)
+    sre = _widen_row(p["re"][S], WRB)
+    scnt = p["rcnt"][S]
+    sfsite = p["fsite"][S]
+    sfstate = p["fstate"][S]
+
+    lam_X_node = lambda_at_dev_miss(p, X, lambda_ref, mu, nu, qatab, part,
+                                    ref_cum_Q, ref_seq)
+    in_s0 = rsn.contains_many(srs, sre, jnp.maximum(sfsite, 0))
+    next_plB = lam_over_miss_dev(srs, sre, scnt, sfsite, sfstate, in_s0,
+                                 mu, nu, qatab, part, ref_cum_Q, ref_seq)
+    plA0 = lam_X_node + _mut_dlam(p, X, mu, nu, qatab, part, sign=-1) \
+        - next_plB
+    plA = plA.at[0].set(plA0)
+
+    ok = jnp.bool_(True)
+
+    # --- the sliding walk: levels 1..BI_MAX-1 ---
+    def level(i, carry):
+        (cur, par, srs, sre, scnt, sfsite, sfstate, partial_lambda, walking,
+         ok, A_arr, B_arr, T_arr, active, warm_rs, warm_re, warm_cnt,
+         hot_rs, hot_re, hot_cnt, plA) = carry
+        k = i + 1
+        sib = _sibling_dev(p, par, cur)
+
+        # mutations of cur at sliding sites: lambda flip + from-state slides
+        msk = (jnp.arange(W) < p["mcount"][cur]) & rsn.contains_many(
+            srs, sre, jnp.maximum(p["msite"][cur], 0))
+        s_ = jnp.maximum(p["msite"][cur], 0)
+        dl = mu * nu[s_] * (_qa_at(qatab, part, s_, p["mfrom"][cur])
+                            - _qa_at(qatab, part, s_, p["mto"][cur]))
+        partial_lambda_new = partial_lambda + jnp.sum(
+            jnp.where(msk, dl, 0.0))
+        first = _first_occurrence_per_site(p["msite"][cur], msk)
+
+        def upd_fs(j, fsfs):
+            fsite_r, fstate_r, ok_ = fsfs
+            site = p["msite"][cur][j]
+            frm = p["mfrom"][cur][j]
+            ns, nv, ok2 = fs_set(fsite_r, fstate_r, ref_seq, site, frm)
+            do = first[j]
+            return (jnp.where(do, ns, fsite_r), jnp.where(do, nv, fstate_r),
+                    ok_ & jnp.where(do, ok2, True))
+
+        sfsite_n, sfstate_n, ok_fs = jax.lax.fori_loop(
+            0, W, upd_fs, (sfsite, sfstate, jnp.bool_(True)))
+
+        # warm_k = sliding; hot_k = warm - miss(sib); sliding' = warm - hot
+        sib_rs = p["rs"][sib]
+        sib_re = p["re"][sib]
+        h_rs, h_re, h_cnt, ok1 = rsn.combine(
+            srs, sre, scnt, _widen_row(sib_rs, WRB), _widen_row(sib_re, WRB),
+            p["rcnt"][sib], op="minus", WR_out=WRB)
+        n_rs, n_re, n_cnt, ok2 = rsn.combine(
+            srs, sre, scnt, h_rs, h_re, h_cnt, op="minus", WR_out=WRB)
+
+        # prune sliding from-states to the new sliding set
+        keep_fs = rsn.contains_many(n_rs, n_re, jnp.maximum(sfsite_n, 0)) \
+            & (sfsite_n >= 0)
+        sfsite_p = jnp.where(keep_fs, sfsite_n, -1)
+
+        in_sn = rsn.contains_many(n_rs, n_re, jnp.maximum(sfsite_p, 0))
+        next_plB = lam_over_miss_dev(n_rs, n_re, n_cnt, sfsite_p, sfstate_n,
+                                     in_sn, mu, nu, qatab, part, ref_cum_Q,
+                                     ref_seq)
+        at_root = par == root
+        # can_change_root=False at the part root: hot = warm, plA absorbs the
+        # remaining sliding lambda (graft.py:359-361)
+        h_rs = jnp.where(at_root, srs, h_rs)
+        h_re = jnp.where(at_root, sre, h_re)
+        h_cnt = jnp.where(at_root, scnt, h_cnt)
+        plA_k = jnp.where(at_root, partial_lambda_new,
+                          partial_lambda_new - next_plB)
+
+        do = walking
+        A_arr = A_arr.at[k].set(jnp.where(do, par, A_arr[k]))
+        B_arr = B_arr.at[k].set(jnp.where(do, cur, B_arr[k]))
+        T_arr = T_arr.at[k].set(jnp.where(do, t_X - t[par], T_arr[k]))
+        active = active.at[k].set(jnp.where(do, True, active[k]))
+        warm_rs = warm_rs.at[k].set(jnp.where(do, srs, warm_rs[k]))
+        warm_re = warm_re.at[k].set(jnp.where(do, sre, warm_re[k]))
+        warm_cnt = warm_cnt.at[k].set(jnp.where(do, scnt, warm_cnt[k]))
+        hot_rs = hot_rs.at[k].set(jnp.where(do, h_rs, hot_rs[k]))
+        hot_re = hot_re.at[k].set(jnp.where(do, h_re, hot_re[k]))
+        hot_cnt = hot_cnt.at[k].set(jnp.where(do, h_cnt, hot_cnt[k]))
+        plA = plA.at[k].set(jnp.where(do, plA_k, plA[k]))
+        ok = ok & jnp.where(do, ok1 & ok2 & ok_fs, True)
+
+        # advance
+        cont = do & ~at_root & (n_cnt > 0)
+        cur_n = jnp.where(cont, par, cur)
+        par_n = jnp.where(cont, parent_a[jnp.maximum(par, 0)], par)
+        srs = jnp.where(do & ~at_root, n_rs, jnp.where(
+            do, jnp.full(WRB, rsn.BIG, jnp.int32), srs))
+        sre = jnp.where(do & ~at_root, n_re, jnp.where(
+            do, jnp.full(WRB, rsn.BIG, jnp.int32), sre))
+        scnt = jnp.where(do & ~at_root, n_cnt, jnp.where(do, 0, scnt))
+        sfsite_o = jnp.where(do & ~at_root, sfsite_p, jnp.where(
+            do, jnp.full(WFS, -1, jnp.int32), sfsite))
+        partial_lambda = jnp.where(do, next_plB, partial_lambda)
+        walking = cont
+        return (cur_n, par_n, srs, sre, scnt, sfsite_o, sfstate_n,
+                partial_lambda, walking, ok, A_arr, B_arr, T_arr, active,
+                warm_rs, warm_re, warm_cnt, hot_rs, hot_re, hot_cnt, plA)
+
+    walking0 = scnt > 0
+    carry = (P, parent_a[P], srs, sre, scnt, sfsite, sfstate, next_plB,
+             walking0, ok, A_arr, B_arr, T_arr, active, warm_rs, warm_re,
+             warm_cnt, hot_rs, hot_re, hot_cnt, plA)
+    carry = jax.lax.fori_loop(0, BI_MAX - 1, level, carry)
+    (cur, par, srs, sre, scnt, sfsite, sfstate, partial_lambda, walking,
+     ok, A_arr, B_arr, T_arr, active, warm_rs, warm_re, warm_cnt,
+     hot_rs, hot_re, hot_cnt, plA) = carry
+    ok = ok & ~walking  # walk exhausted BI_MAX levels
+
+    # --- distribute hot mutations along the hot path (graft.py:373-386) ---
+    # candidates: all mutations of every active bi's branch B_i
+    Bc = jnp.maximum(B_arr, 0)
+    cand_site = p["msite"][Bc]            # (BI, W)
+    cand_from = p["mfrom"][Bc]
+    cand_to = p["mto"][Bc]
+    cand_t = p["mt"][Bc]
+    cand_valid = (jnp.arange(W)[None, :] < p["mcount"][Bc][:, None]) \
+        & active[:, None]
+    # in_warm per source level i (slot 0 warm = ALL sites)
+    in_warm = jax.vmap(
+        lambda rs_, re_, site: rsn.contains_many(rs_, re_, site))(
+        warm_rs, warm_re, jnp.maximum(cand_site, 0))
+    in_warm = jnp.where(compl_[:, None], True, in_warm)  # slot0 warm=ALL
+    src_ok = cand_valid & in_warm                         # (BI, W)
+
+    def in_hot_row(k, sites):
+        m = rsn.contains_many(hot_rs[k], hot_re[k], jnp.maximum(sites, 0))
+        return jnp.where(compl_[k], ~m, m)
+
+    flat_site = cand_site.reshape(-1)
+    flat_from = cand_from.reshape(-1)
+    flat_to = cand_to.reshape(-1)
+    flat_t = cand_t.reshape(-1)
+    flat_src = jnp.repeat(jnp.arange(BI_MAX), W)
+    flat_ok = src_ok.reshape(-1)
+
+    def fill_row(k, arrs):
+        hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok_ = arrs
+        sel = flat_ok & (flat_src <= k) & active[k] \
+            & in_hot_row(k, flat_site)
+        nsel = jnp.sum(sel).astype(jnp.int32)
+        ok_ = ok_ & (nsel <= WH_)
+        # time-ascending order = the host's final hot_muts order
+        order = jnp.argsort(jnp.where(sel, flat_t, jnp.inf))
+        idx = order[:WH_]
+        lane = jnp.arange(WH_)
+        good = lane < nsel
+        hm_s = hm_s.at[k].set(jnp.where(good, flat_site[idx], -1))
+        hm_f = hm_f.at[k].set(jnp.where(good, flat_from[idx], 0))
+        hm_t2 = hm_t2.at[k].set(jnp.where(good, flat_to[idx], 0))
+        hm_tt = hm_tt.at[k].set(jnp.where(good, flat_t[idx], jnp.inf))
+        hm_cnt = hm_cnt.at[k].set(nsel)
+        return hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok_
+
+    hm_s = jnp.full((BI_MAX, WH_), -1, jnp.int32)
+    hm_f = jnp.zeros((BI_MAX, WH_), jnp.int32)
+    hm_t2 = jnp.zeros((BI_MAX, WH_), jnp.int32)
+    hm_tt = jnp.full((BI_MAX, WH_), jnp.inf)
+    hm_cnt = jnp.zeros(BI_MAX, jnp.int32)
+    hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok = jax.lax.fori_loop(
+        0, BI_MAX, fill_row, (hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok))
+
+    # --- hot deltas (composition in time order) + plX ---
+    def per_bi(k):
+        ds, df, dt_, dc = compose_events(hm_s[k], hm_f[k], hm_t2[k],
+                                         jnp.arange(WH_) < hm_cnt[k])
+        s_ = jnp.maximum(hm_s[k], 0)
+        dlam = mu * nu[s_] * (_qa_at(qatab, part, s_, hm_t2[k])
+                              - _qa_at(qatab, part, s_, hm_f[k]))
+        plX_k = plA[k] + jnp.sum(
+            jnp.where(jnp.arange(WH_) < hm_cnt[k], dlam, 0.0))
+        return ds, df, dt_, dc, plX_k
+
+    hd_s, hd_f, hd_t, hd_cnt, plX = jax.vmap(per_bi)(jnp.arange(BI_MAX))
+    plX = jnp.where(active, plX, 0.0)
+
+    n_bi = jnp.sum(active).astype(jnp.int32)
+    G = dict(A=A_arr, B=B_arr, T=T_arr, active=active, compl_=compl_,
+             warm_rs=warm_rs, warm_re=warm_re, warm_cnt=warm_cnt,
+             hot_rs=hot_rs, hot_re=hot_re, hot_cnt=hot_cnt,
+             plA=plA, plX=plX,
+             hm_s=hm_s, hm_f=hm_f, hm_t2=hm_t2, hm_tt=hm_tt, hm_cnt=hm_cnt,
+             hd_s=hd_s, hd_f=hd_f, hd_t=hd_t, hd_cnt=hd_cnt,
+             n_bi=n_bi, t_P=t_P, S=S, X=X)
+    return G, ok

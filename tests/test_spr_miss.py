@@ -107,3 +107,79 @@ def test_fs_row_ops():
     full_v = jnp.asarray(np.array([1, 1, 1, 1], np.int32))
     _, _, ok = sm.fs_set(full_s, full_v, ref_seq, jnp.int32(9), jnp.int32(3))
     assert not bool(ok)
+
+
+def _host_analysis(ctx, X):
+    g = ctx._start_graft_analysis(X)
+    ctx._finish_graft_analysis(g)
+    return g
+
+
+def _row_to_sites(rs, re, cnt, L):
+    out = set()
+    for s, e in rsn.row_to_intervals(rs, re, cnt):
+        out.update(range(s, min(e, L)))
+    return out
+
+
+def test_start_inner_dev_matches_host():
+    """Analysis parity: per-branch-info A/B/T, warm/hot sets, partial
+    lambdas, hot mutations and composed hot deltas equal the host
+    _start_inner on missation-laden trees (can_change_root=False)."""
+    import functools
+    n_multi = 0
+    for seed in range(6):
+        tree = _make_tree(T=16, L=300, seed=seed, missing_fraction=0.12)
+        ctx, p, a = _ctx_and_pack(tree)
+        ctx.begin_move()
+        L = tree.num_sites
+        WRB = 2 * p["rs"].shape[1] + 8
+        WH_ = 4 * p["msite"].shape[1]
+        f = jax.jit(functools.partial(sm.start_inner_dev, WRB=WRB, WH_=WH_))
+        for X in range(tree.num_nodes):
+            if X == tree.root or int(tree.parent[X]) == tree.root:
+                continue
+            g = _host_analysis(ctx, X)
+            G, ok = f(p, X, a)
+            assert bool(ok), (seed, X)
+            n_bi = int(G["n_bi"])
+            assert n_bi == len(g.branch_infos), (seed, X)
+            n_multi += int(n_bi > 1)
+            for k, bi in enumerate(g.branch_infos):
+                assert int(G["A"][k]) == bi.A
+                assert int(G["B"][k]) == bi.B
+                assert float(G["T"][k]) == pytest.approx(bi.T_to_X, abs=0)
+                # sets
+                dev_hot = _row_to_sites(G["hot_rs"][k], G["hot_re"][k],
+                                        G["hot_cnt"][k], L)
+                if bool(G["compl_"][k]):
+                    dev_hot = set(range(L)) - dev_hot
+                host_hot = (set(range(L)) - bi.hot_sites.excluded
+                            if hasattr(bi.hot_sites, "excluded")
+                            else set(bi.hot_sites))
+                assert dev_hot == host_hot, (seed, X, k)
+                if k > 0:
+                    dev_warm = _row_to_sites(G["warm_rs"][k],
+                                             G["warm_re"][k],
+                                             G["warm_cnt"][k], L)
+                    assert dev_warm == set(bi.warm_sites), (seed, X, k)
+                # lambdas
+                assert float(G["plA"][k]) == pytest.approx(
+                    bi.partial_lambda_at_A, rel=1e-9, abs=1e-12), (seed, X, k)
+                assert float(G["plX"][k]) == pytest.approx(
+                    bi.partial_lambda_at_X, rel=1e-9, abs=1e-12), (seed, X, k)
+                # hot mutations (site, from, to, t) in order
+                hm = [(int(G["hm_s"][k][i]), int(G["hm_f"][k][i]),
+                       int(G["hm_t2"][k][i]), float(G["hm_tt"][k][i]))
+                      for i in range(int(G["hm_cnt"][k]))]
+                hh = [(m.site, m.from_, m.to, m.t) for m in bi.hot_muts_to_X]
+                assert hm == hh, (seed, X, k)
+                # composed hot deltas
+                hd = {int(G["hd_s"][k][i]): (int(G["hd_f"][k][i]),
+                                             int(G["hd_t"][k][i]))
+                      for i in range(int(G["hd_cnt"][k]))}
+                assert hd == {s: (ft[0], ft[1]) if isinstance(ft, tuple)
+                              else (ft.from_, ft.to)
+                              for s, ft in bi.hot_deltas_to_X.items()}, \
+                    (seed, X, k)
+    assert n_multi >= 10, f"only {n_multi} multi-BI cases exercised"
