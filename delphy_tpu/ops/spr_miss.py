@@ -75,16 +75,19 @@ def pack_tree_miss(tree: FlatTree, W: int | None = None,
         for i, (s, f) in enumerate(sorted(tree.miss_from_states[b].items())):
             fsite[b, i], fstate[b, i] = s, f
     return dict(
-        parent=jnp.asarray(np.asarray(tree.parent, dtype=np.int32)),
-        children=jnp.asarray(np.asarray(tree.children, dtype=np.int32)),
-        t=jnp.asarray(np.asarray(tree.t, dtype=np.float64)),
+        # np.array(copy=True): jnp.asarray on CPU can ZERO-COPY a numpy
+        # buffer, aliasing the live FlatTree arrays — later host-side tree
+        # mutations would silently corrupt the packed tree
+        parent=jnp.asarray(np.array(tree.parent, dtype=np.int32, copy=True)),
+        children=jnp.asarray(np.array(tree.children, dtype=np.int32,
+                                      copy=True)),
+        t=jnp.asarray(np.array(tree.t, dtype=np.float64, copy=True)),
         mcount=jnp.asarray(counts.astype(np.int32)),
         msite=jnp.asarray(msite), mfrom=jnp.asarray(mfrom),
         mto=jnp.asarray(mto), mt=jnp.asarray(mt),
         rs=jnp.asarray(rs), re=jnp.asarray(re),
         rcnt=jnp.asarray(rcounts.astype(np.int32)),
         fsite=jnp.asarray(fsite), fstate=jnp.asarray(fstate),
-        fcnt=jnp.asarray(fcounts.astype(np.int32)),
         root=jnp.int32(int(tree.root)),
     )
 
@@ -108,10 +111,9 @@ def unpack_tree_miss(p, tree_template: FlatTree) -> FlatTree:
         [(int(rs[b, i]), int(re[b, i])) for i in range(int(rc[b]))]
         for b in range(N)
     ]
-    fsi, fst, fc = (np.asarray(p["fsite"]), np.asarray(p["fstate"]),
-                    np.asarray(p["fcnt"]))
+    fsi, fst = np.asarray(p["fsite"]), np.asarray(p["fstate"])
     # fs rows may be unsorted / contain holes after device surgery: collect
-    # the first fcnt ACTIVE lanes (site >= 0)
+    # the ACTIVE lanes (site >= 0)
     out.miss_from_states = []
     for b in range(N):
         d = {}
@@ -551,3 +553,710 @@ def start_inner_dev(p, X, c, WRB: int, WH_: int = WH):
              hd_s=hd_s, hd_f=hd_f, hd_t=hd_t, hd_cnt=hd_cnt,
              n_bi=n_bi, t_P=t_P, S=S, X=X)
     return G, ok
+
+
+# ---------------------------------------------------------------------------
+# Finish: delta_log_G + log_alpha_mut (host graft.py _finish_graft_analysis;
+# reference spr_move.cpp:246-316, 799-866).  Inner, all-closed variant.
+# ---------------------------------------------------------------------------
+
+def finish_dev(p, G, c, mu_prop, L: int):
+    mu, nu, qatab, qtab, part = c["mu"], c["nu"], c["qatab"], c["qtab"], \
+        c["part"]
+    t_X = p["t"][G["X"]]
+    WH_ = G["hm_s"].shape[1]
+
+    def per_bi(k):
+        dG = branch_log_G(t_X - G["T"][k], t_X, G["plX"][k], G["hm_s"][k],
+                          G["hm_f"][k], G["hm_t2"][k], G["hm_tt"][k],
+                          G["hm_cnt"][k], mu, nu, qtab, qatab, part)
+        # hot-site count; B == X (slot 0) uses the adjusted count
+        # (graft.py:489-492)
+        size_h = rsn.row_size(G["hot_rs"][k], G["hot_re"][k],
+                              G["hot_cnt"][k])
+        Lh = jnp.where(G["compl_"][k], L - size_h, size_h)
+        size_w = rsn.row_size(G["warm_rs"][k], G["warm_re"][k],
+                              G["warm_cnt"][k])
+        Lw = jnp.where(G["compl_"][k], L - size_w, size_w)
+        n_miss_X = num_missing_at_dev(p, G["X"])
+        Lh = jnp.where(k == 0, (L - n_miss_X) - (Lw - Lh), Lh)
+        T = G["T"][k]
+        M = G["hm_cnt"][k].astype(jnp.float64)
+        d = G["hd_cnt"][k].astype(jnp.float64)
+        Lh = Lh.astype(jnp.float64)
+        al = -mu_prop * Lh * T + M * jnp.log(mu_prop / 3.0)
+        P_AC = -0.25 * jnp.expm1(-4.0 / 3.0 * mu_prop * T)
+        P_AC = jnp.maximum(P_AC, 1e-300)
+        al -= ((Lh - d) * jnp.log1p(-3.0 * P_AC) + d * jnp.log(P_AC))
+        return dG, al
+
+    dGs, als = jax.vmap(per_bi)(jnp.arange(BI_MAX))
+    act = G["active"]
+    return (jnp.sum(jnp.where(act, dGs, 0.0)),
+            jnp.sum(jnp.where(act, als, 0.0)))
+
+
+# ---------------------------------------------------------------------------
+# Peel (host graft.py _peel_inner, closed-final variant;
+# reference spr_move.cpp:868-975)
+# ---------------------------------------------------------------------------
+
+def _path_and_sibs(p, X, B):
+    """Junction path X -> B (exclusive): arrays of (sib, level_valid) for
+    each junction between X and B, bottom-up."""
+    parent_a = p["parent"]
+
+    def body(i, carry):
+        cur, sibs, valid = carry
+        at_end = cur == B
+        par = parent_a[jnp.maximum(cur, 0)]
+        sib = _sibling_dev(p, jnp.maximum(par, 0), cur)
+        take = ~at_end & (cur >= 0) & (par >= 0)
+        sibs = sibs.at[i].set(jnp.where(take, sib, -1))
+        valid = valid.at[i].set(take)
+        cur = jnp.where(take, par, cur)
+        return cur, sibs, valid
+
+    sibs = jnp.full(P_MAX, -1, jnp.int32)
+    valid = jnp.zeros(P_MAX, bool)
+    _, sibs, valid = jax.lax.fori_loop(
+        0, P_MAX, body, (jnp.asarray(X, jnp.int32), sibs, valid))
+    return sibs, valid
+
+
+def peel_inner_dev(p, G, c):
+    """Remove the graft's warm mutations: warm muts of each bi's branch
+    slide down to the P->X level (from-state updates on every junction
+    sibling along the way), X's branch becomes the composed nexus deltas at
+    t_mid.  Host: graft.py _peel_inner (final closed)."""
+    ref_seq = c["ref_seq"]
+    X = G["X"]
+    N, W = p["msite"].shape
+    WH_ = G["hm_s"].shape[1]
+    t_P = G["t_P"]
+    t_X = p["t"][X]
+    ok = jnp.bool_(True)
+
+    msite, mfrom, mto, mt = p["msite"], p["mfrom"], p["mto"], p["mt"]
+    mcount = p["mcount"]
+    fsite, fstate = p["fsite"], p["fstate"]
+
+    def per_bi(k, carry):
+        msite, mfrom, mto, mt, mcount, fsite, fstate, ok = carry
+        B = jnp.maximum(G["B"][k], 0)
+        act = G["active"][k] & (G["B"][k] != X)
+        in_warm = rsn.contains_many(G["warm_rs"][k], G["warm_re"][k],
+                                    jnp.maximum(msite[B], 0))
+        in_warm = jnp.where(G["compl_"][k], True, in_warm)
+        sel = (jnp.arange(W) < mcount[B]) & in_warm & act
+
+        # slide from-states: reversed order so the EARLIEST mutation's
+        # from_state sticks (host iterates reversed and overwrites)
+        sibs, pvalid = _path_and_sibs(p, X, G["B"][k])
+
+        def per_mut(j_rev, fs):
+            fsite, fstate, ok = fs
+            j = W - 1 - j_rev
+            do = sel[j]
+            site = msite[B][j]
+            frm = mfrom[B][j]
+
+            def per_level(li, fs2):
+                fsite, fstate, ok = fs2
+                sib = jnp.maximum(sibs[li], 0)
+                ns, nv, ok2 = fs_set(fsite[sib], fstate[sib], ref_seq,
+                                     site, frm)
+                use = do & pvalid[li]
+                fsite = fsite.at[sib].set(jnp.where(use, ns, fsite[sib]))
+                fstate = fstate.at[sib].set(jnp.where(use, nv, fstate[sib]))
+                return fsite, fstate, ok & jnp.where(use, ok2, True)
+
+            return jax.lax.fori_loop(0, P_MAX, per_level,
+                                     (fsite, fstate, ok))
+
+        fsite, fstate, ok = jax.lax.fori_loop(0, W, per_mut,
+                                              (fsite, fstate, ok))
+
+        # keep = non-warm muts, order preserved
+        keep = (jnp.arange(W) < mcount[B]) & ~in_warm
+        nkeep = jnp.sum(keep).astype(jnp.int32)
+        order = jnp.argsort(~keep, stable=True)
+        lane = jnp.arange(W)
+        row_s = jnp.where(lane < nkeep, msite[B][order], -1)
+        row_f = jnp.where(lane < nkeep, mfrom[B][order], 0)
+        row_t2 = jnp.where(lane < nkeep, mto[B][order], 0)
+        row_tt = jnp.where(lane < nkeep, mt[B][order], jnp.inf)
+        msite = msite.at[B].set(jnp.where(act, row_s, msite[B]))
+        mfrom = mfrom.at[B].set(jnp.where(act, row_f, mfrom[B]))
+        mto = mto.at[B].set(jnp.where(act, row_t2, mto[B]))
+        mt = mt.at[B].set(jnp.where(act, row_tt, mt[B]))
+        mcount = mcount.at[B].set(jnp.where(act, nkeep, mcount[B]))
+        return msite, mfrom, mto, mt, mcount, fsite, fstate, ok
+
+    msite, mfrom, mto, mt, mcount, fsite, fstate, ok = jax.lax.fori_loop(
+        0, BI_MAX, per_bi,
+        (msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+
+    # X's row := all hot_deltas at t_mid (disjoint sites), site-sorted
+    t_mid = 0.5 * (t_P + t_X)
+    all_s = jnp.where(
+        (jnp.arange(WH_)[None, :] < G["hd_cnt"][:, None]) &
+        G["active"][:, None], G["hd_s"], jnp.int32(2 ** 30)).reshape(-1)
+    all_f = G["hd_f"].reshape(-1)
+    all_t2 = G["hd_t"].reshape(-1)
+    order = jnp.argsort(all_s)
+    n_del = jnp.sum(all_s < 2 ** 30).astype(jnp.int32)
+    ok = ok & (n_del <= W)
+    lane = jnp.arange(W)
+    take = order[:W]
+    msite = msite.at[X].set(
+        jnp.where(lane < n_del, all_s[take], -1).astype(jnp.int32))
+    mfrom = mfrom.at[X].set(jnp.where(lane < n_del, all_f[take], 0))
+    mto = mto.at[X].set(jnp.where(lane < n_del, all_t2[take], 0))
+    mt = mt.at[X].set(jnp.where(lane < n_del, t_mid, jnp.inf))
+    mcount = mcount.at[X].set(n_del)
+
+    p2 = dict(p, msite=msite, mfrom=mfrom, mto=mto, mt=mt, mcount=mcount,
+              fsite=fsite, fstate=fstate)
+    return p2, ok
+
+
+# ---------------------------------------------------------------------------
+# The prune-regraft surgery with missation factoring (host graft.py move();
+# native topo_native.cpp SprContext::move; reference spr_move.cpp:1101-1160)
+# Operates on the PEELED tree; inner moves (P != root, SS != root branch).
+# ---------------------------------------------------------------------------
+
+def _node_runs(p, n):
+    return p["rs"][n], p["re"][n], p["rcnt"][n]
+
+
+def _set_node_runs(p_rs, p_re, p_rcnt, n, rs, re, cnt):
+    return (p_rs.at[n].set(rs), p_re.at[n].set(re), p_rcnt.at[n].set(cnt))
+
+
+def move_dev(p, X, SS, t_new, c):
+    """detach X, regraft on branch SS at t_new.  Returns (p2, ok)."""
+    ref_seq = c["ref_seq"]
+    N, W = p["msite"].shape
+    WR = p["rs"].shape[1]
+    WFn = p["fsite"].shape[1]
+    root = p["root"]
+    X = jnp.asarray(X, jnp.int32)
+    P = p["parent"][X]
+    S = _sibling_dev(p, P, X)
+    SS = jnp.where(SS == P, S, SS)
+    old_t_P = p["t"][P]
+    ok = jnp.bool_(True)
+
+    # 1. strip X's (peeled) row into nexus->X deltas (already site-sorted,
+    # disjoint, at t_mid)
+    dnx_s = p["msite"][X]
+    dnx_f = p["mfrom"][X]
+    dnx_t = p["mto"][X]
+    dnx_c = p["mcount"][X]
+
+    # 2a. X inherits every missation at or above its old position.  Run
+    # union accumulated bottom-up; from-states move via the small fs rows
+    # (only non-ref from-states have entries; already-missing-at-X sites
+    # keep X's own entry) — same design as the native kernel's detach.
+    rs_a, re_a, cnt_a = _node_runs(p, X)
+    fsX, fvX = p["fsite"][X], p["fstate"][X]
+
+    def inherit(i, carry):
+        cur, rs_a, re_a, cnt_a, fsX, fvX, ok = carry
+        n = jnp.maximum(cur, 0)
+        live = cur >= 0
+
+        def per_fs(j, fs):
+            fsX, fvX, ok = fs
+            site = p["fsite"][n][j]
+            do = live & (site >= 0) \
+                & rsn.contains_many(p["rs"][n], p["re"][n],
+                                    jnp.maximum(site, 0)[None])[0] \
+                & ~rsn.contains_many(rs_a, re_a,
+                                     jnp.maximum(site, 0)[None])[0]
+            ns, nv, ok2 = fs_set(fsX, fvX, ref_seq, site, p["fstate"][n][j])
+            return (jnp.where(do, ns, fsX), jnp.where(do, nv, fvX),
+                    ok & jnp.where(do, ok2, True))
+
+        fsX, fvX, ok = jax.lax.fori_loop(0, WFn, per_fs, (fsX, fvX, ok))
+        rs2, re2, cnt2, ok2 = rsn.combine(rs_a, re_a, cnt_a, p["rs"][n],
+                                          p["re"][n], p["rcnt"][n],
+                                          op="union", WR_out=WR)
+        rs_a = jnp.where(live, rs2, rs_a)
+        re_a = jnp.where(live, re2, re_a)
+        cnt_a = jnp.where(live, cnt2, cnt_a)
+        ok = ok & jnp.where(live, ok2, True)
+        cur = jnp.where(live, p["parent"][n], cur)
+        return cur, rs_a, re_a, cnt_a, fsX, fvX, ok
+
+    _, rs_a, re_a, cnt_a, fsX, fvX, ok = jax.lax.fori_loop(
+        0, P_MAX, inherit, (P, rs_a, re_a, cnt_a, fsX, fvX, ok))
+
+    p_rs = p["rs"].at[X].set(rs_a)
+    p_re = p["re"].at[X].set(re_a)
+    p_rcnt = p["rcnt"].at[X].set(cnt_a)
+    p_fs = p["fsite"].at[X].set(fsX)
+    p_fv = p["fstate"].at[X].set(fvX)
+
+    # 2b. structural detach (muts merge G->P->S, wiring; ops/spr_move.detach)
+    p1 = dict(p, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
+    # X's row must not merge anywhere: detach only touches P/S rows.
+    # detach/attach (ops/spr_move) return mutation-only dicts; re-attach the
+    # missation arrays around them.
+    pd, S_det, Pf = detach(p1, X)
+    pd = dict(pd, rs=p1["rs"], re=p1["re"], rcnt=p1["rcnt"],
+              fsite=p1["fsite"], fstate=p1["fstate"])
+    G_node = p["parent"][P]
+
+    # 2c. merge missations P -> S (disjoint), clear P
+    rsS, reS, cntS, okm = rsn.combine(*_node_runs(p1, P), *_node_runs(p1, S),
+                                      op="union", WR_out=WR)
+    ok = ok & okm
+    p_rs, p_re, p_rcnt = (pd["rs"], pd["re"], pd["rcnt"])
+    p_rs, p_re, p_rcnt = _set_node_runs(p_rs, p_re, p_rcnt, S, rsS, reS,
+                                        cntS)
+    p_rs, p_re, p_rcnt = _set_node_runs(
+        p_rs, p_re, p_rcnt, P, jnp.full(WR, rsn.BIG, jnp.int32),
+        jnp.full(WR, rsn.BIG, jnp.int32), jnp.int32(0))
+    p_fs, p_fv = pd["fsite"], pd["fstate"]
+
+    def merge_fs(j, fs):
+        p_fs, p_fv, ok = fs
+        site = p1["fsite"][P][j]
+        do = site >= 0
+        ns, nv, ok2 = fs_set(p_fs[S], p_fv[S], ref_seq, site,
+                             p1["fstate"][P][j])
+        p_fs = p_fs.at[S].set(jnp.where(do, ns, p_fs[S]))
+        p_fv = p_fv.at[S].set(jnp.where(do, nv, p_fv[S]))
+        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
+
+    p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, merge_fs, (p_fs, p_fv, ok))
+    p_fs = p_fs.at[P].set(jnp.full(WFn, -1, jnp.int32))
+
+    pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
+
+    # 2d. normalization cascade up from the old junction G
+    def cascade(i, carry):
+        cur, pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, going, ok = carry
+        n = jnp.maximum(cur, 0)
+        c0 = jnp.maximum(pd["children"][n, 0], 0)
+        c1 = jnp.maximum(pd["children"][n, 1], 0)
+        crs, cre, ccnt, ok1 = rsn.combine(
+            pd_rs[c0], pd_re[c0], pd_rcnt[c0], pd_rs[c1], pd_re[c1],
+            pd_rcnt[c1], op="intersect", WR_out=WR)
+        has = ccnt > 0
+        do = going & (cur >= 0) & has
+
+        # move c0's fs entries in common up to cur; drop c1's
+        def mv_fs(j, fs):
+            pd_fs, pd_fv, ok = fs
+            site0 = pd_fs[c0][j]
+            in_c = rsn.contains_many(crs, cre,
+                                     jnp.maximum(site0, 0)[None])[0]
+            d0 = do & (site0 >= 0) & in_c
+            ns, nv, ok2 = fs_set(pd_fs[n], pd_fv[n], ref_seq, site0,
+                                 pd_fv[c0][j])
+            pd_fs = pd_fs.at[n].set(jnp.where(d0, ns, pd_fs[n]))
+            pd_fv = pd_fv.at[n].set(jnp.where(d0, nv, pd_fv[n]))
+            pd_fs = pd_fs.at[c0, j].set(jnp.where(d0, -1, pd_fs[c0, j]))
+            site1 = pd_fs[c1][j]
+            in_c1 = rsn.contains_many(crs, cre,
+                                      jnp.maximum(site1, 0)[None])[0]
+            d1 = do & (site1 >= 0) & in_c1
+            pd_fs = pd_fs.at[c1, j].set(jnp.where(d1, -1, pd_fs[c1, j]))
+            return pd_fs, pd_fv, ok & jnp.where(d0, ok2, True)
+
+        pd_fs, pd_fv, ok = jax.lax.fori_loop(0, WFn, mv_fs,
+                                             (pd_fs, pd_fv, ok))
+
+        r0s, r0e, r0c, ok2 = rsn.combine(pd_rs[c0], pd_re[c0], pd_rcnt[c0],
+                                         crs, cre, ccnt, op="minus",
+                                         WR_out=WR)
+        r1s, r1e, r1c, ok3 = rsn.combine(pd_rs[c1], pd_re[c1], pd_rcnt[c1],
+                                         crs, cre, ccnt, op="minus",
+                                         WR_out=WR)
+        rns, rne, rnc, ok4 = rsn.combine(pd_rs[n], pd_re[n], pd_rcnt[n],
+                                         crs, cre, ccnt, op="union",
+                                         WR_out=WR)
+        pd_rs = pd_rs.at[c0].set(jnp.where(do, r0s, pd_rs[c0]))
+        pd_re = pd_re.at[c0].set(jnp.where(do, r0e, pd_re[c0]))
+        pd_rcnt = pd_rcnt.at[c0].set(jnp.where(do, r0c, pd_rcnt[c0]))
+        pd_rs = pd_rs.at[c1].set(jnp.where(do, r1s, pd_rs[c1]))
+        pd_re = pd_re.at[c1].set(jnp.where(do, r1e, pd_re[c1]))
+        pd_rcnt = pd_rcnt.at[c1].set(jnp.where(do, r1c, pd_rcnt[c1]))
+        pd_rs = pd_rs.at[n].set(jnp.where(do, rns, pd_rs[n]))
+        pd_re = pd_re.at[n].set(jnp.where(do, rne, pd_re[n]))
+        pd_rcnt = pd_rcnt.at[n].set(jnp.where(do, rnc, pd_rcnt[n]))
+        ok = ok & jnp.where(do, ok1 & ok2 & ok3 & ok4, True)
+        going = do
+        cur = jnp.where(do, pd["parent"][n], cur)
+        return cur, pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, going, ok
+
+    cur0 = G_node
+    _, p_rs, p_re, p_rcnt, p_fs, p_fv, _, ok = jax.lax.fori_loop(
+        0, P_MAX, cascade,
+        (cur0, pd["rs"], pd["re"], pd["rcnt"], pd["fsite"], pd["fstate"],
+         jnp.bool_(True), ok))
+    pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
+
+    # 3. recompose nexus deltas through the pruned tree; crossings at sites
+    # missing at X become from-state updates on X
+    bs, bf, bt, bc, okd = deltas_between_dev(pd, SS, t_new, S_det, old_t_P)
+    ok = ok & okd
+    in_missX = rsn.contains_many(pd["rs"][X], pd["re"][X],
+                                 jnp.maximum(bs, 0))
+    lane_ok = jnp.arange(bs.shape[0]) < bc
+
+    def fs_cross(j, fs):
+        p_fs, p_fv, ok = fs
+        do = lane_ok[j] & in_missX[j]
+        ns, nv, ok2 = fs_set(p_fs[X], p_fv[X], ref_seq, bs[j], bf[j])
+        p_fs = p_fs.at[X].set(jnp.where(do, ns, p_fs[X]))
+        p_fv = p_fv.at[X].set(jnp.where(do, nv, p_fv[X]))
+        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
+
+    p_fs, p_fv, ok = jax.lax.fori_loop(0, bs.shape[0], fs_cross,
+                                       (pd["fsite"], pd["fstate"], ok))
+    pd = dict(pd, fsite=p_fs, fstate=p_fv)
+    keep = lane_ok & ~in_missX
+    bs_k = jnp.where(keep, bs, -1)
+
+    # compose d_new_to_old (filtered) with nexus deltas
+    cat_s = jnp.concatenate([
+        bs_k, jnp.where(jnp.arange(dnx_s.shape[0]) < dnx_c, dnx_s, -1)])
+    cat_f = jnp.concatenate([bf, dnx_f])
+    cat_t = jnp.concatenate([bt, dnx_t])
+    nds, ndf, ndt, ndc = compose_events(cat_s, cat_f, cat_t, cat_s >= 0)
+    ok = ok & (ndc <= W)
+
+    # 4a. un-factor missations above the attach point that X's data
+    # invalidates: one downward pass over the path root..GG..SS carrying the
+    # accumulated need-set and pending from-states
+    GG = pd["parent"][SS]
+    path = jnp.full(P_MAX, -1, jnp.int32).at[0].set(SS)
+
+    def up_body(i, carry):
+        path, depth = carry
+        cur = path[i]
+        nxt = jnp.where(cur >= 0, pd["parent"][jnp.maximum(cur, 0)], -1)
+        path = path.at[i + 1].set(nxt)
+        depth = jnp.where(nxt >= 0, i + 1, depth)
+        return path, depth
+
+    path, depth = jax.lax.fori_loop(0, P_MAX - 1, up_body,
+                                    (path, jnp.int32(0)))
+
+    def down_body(i, carry):
+        (p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt,
+         pend_s, pend_v, ok) = carry
+        wi = depth - i              # walk root -> GG (wi >= 1)
+        live = wi >= 1
+        Wn = jnp.maximum(path[jnp.maximum(wi, 0)], 0)
+        below = jnp.maximum(path[jnp.maximum(wi - 1, 0)], 0)
+        # need = miss(W) - miss_X
+        nrs, nre, ncnt, ok1 = rsn.combine(
+            p_rs[Wn], p_re[Wn], p_rcnt[Wn], p_rs[X], p_re[X], p_rcnt[X],
+            op="minus", WR_out=WR)
+        has = live & (ncnt > 0)
+        # strip need from W; move W's fs entries in need to pending
+        wrs, wre, wcnt, ok2 = rsn.combine(
+            p_rs[Wn], p_re[Wn], p_rcnt[Wn], nrs, nre, ncnt, op="minus",
+            WR_out=WR)
+        p_rs = p_rs.at[Wn].set(jnp.where(has, wrs, p_rs[Wn]))
+        p_re = p_re.at[Wn].set(jnp.where(has, wre, p_re[Wn]))
+        p_rcnt = p_rcnt.at[Wn].set(jnp.where(has, wcnt, p_rcnt[Wn]))
+
+        def move_pend(j, st):
+            p_fs, p_fv, pend_s, pend_v, ok = st
+            site = p_fs[Wn][j]
+            in_n = rsn.contains_many(nrs, nre, jnp.maximum(site, 0)[None])[0]
+            do = has & (site >= 0) & in_n
+            free = pend_s < 0
+            slot = jnp.argmax(free)
+            can = jnp.any(free)
+            pend_s = jnp.where(do & can, pend_s.at[slot].set(site), pend_s)
+            pend_v = jnp.where(do & can, pend_v.at[slot].set(p_fv[Wn][j]),
+                               pend_v)
+            p_fs = p_fs.at[Wn, j].set(jnp.where(do, -1, p_fs[Wn, j]))
+            return p_fs, p_fv, pend_s, pend_v, ok & (~do | can)
+
+        p_fs, p_fv, pend_s, pend_v, ok = jax.lax.fori_loop(
+            0, WFn, move_pend, (p_fs, p_fv, pend_s, pend_v, ok))
+
+        # acc |= need; junction below W: off-path sibling gains acc+pending
+        ars, are_, acnt, ok3 = rsn.combine(acc_rs, acc_re, acc_cnt, nrs,
+                                           nre, ncnt, op="union", WR_out=WR)
+        acc_rs = jnp.where(live, ars, acc_rs)
+        acc_re = jnp.where(live, are_, acc_re)
+        acc_cnt = jnp.where(live, acnt, acc_cnt)
+        ok = ok & jnp.where(live, ok1 & ok2 & ok3, True)
+
+        other = _sibling_dev(pd, Wn, below)
+        oth = jnp.maximum(other, 0)
+        apply_j = live & (acc_cnt > 0)
+        ors, ore, ocnt, ok4 = rsn.combine(
+            p_rs[oth], p_re[oth], p_rcnt[oth], acc_rs, acc_re, acc_cnt,
+            op="union", WR_out=WR)
+        p_rs = p_rs.at[oth].set(jnp.where(apply_j, ors, p_rs[oth]))
+        p_re = p_re.at[oth].set(jnp.where(apply_j, ore, p_re[oth]))
+        p_rcnt = p_rcnt.at[oth].set(jnp.where(apply_j, ocnt, p_rcnt[oth]))
+        ok = ok & jnp.where(apply_j, ok4, True)
+
+        def bc_fs(j, st):
+            p_fs, p_fv, ok = st
+            site = pend_s[j]
+            do = apply_j & (site >= 0)
+            ns, nv, ok2 = fs_set(p_fs[oth], p_fv[oth], ref_seq, site,
+                                 pend_v[j])
+            p_fs = p_fs.at[oth].set(jnp.where(do, ns, p_fs[oth]))
+            p_fv = p_fv.at[oth].set(jnp.where(do, nv, p_fv[oth]))
+            return p_fs, p_fv, ok & jnp.where(do, ok2, True)
+
+        p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, bc_fs, (p_fs, p_fv, ok))
+        return (p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt,
+                pend_s, pend_v, ok)
+
+    pend_s0 = jnp.full(WFn, -1, jnp.int32)
+    pend_v0 = jnp.zeros(WFn, jnp.int32)
+    (p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt, pend_s,
+     pend_v, ok) = jax.lax.fori_loop(
+        0, P_MAX, down_body,
+        (pd["rs"], pd["re"], pd["rcnt"], pd["fsite"], pd["fstate"],
+         jnp.full(WR, rsn.BIG, jnp.int32), jnp.full(WR, rsn.BIG, jnp.int32),
+         jnp.int32(0), pend_s0, pend_v0, ok))
+    # SS itself gains the accumulated needs + pending from-states
+    apply_ss = acc_cnt > 0
+    srs2, sre2, scnt2, ok5 = rsn.combine(
+        p_rs[SS], p_re[SS], p_rcnt[SS], acc_rs, acc_re, acc_cnt, op="union",
+        WR_out=WR)
+    p_rs = p_rs.at[SS].set(jnp.where(apply_ss, srs2, p_rs[SS]))
+    p_re = p_re.at[SS].set(jnp.where(apply_ss, sre2, p_re[SS]))
+    p_rcnt = p_rcnt.at[SS].set(jnp.where(apply_ss, scnt2, p_rcnt[SS]))
+    ok = ok & jnp.where(apply_ss, ok5, True)
+
+    def ss_fs(j, st):
+        p_fs, p_fv, ok = st
+        site = pend_s[j]
+        do = apply_ss & (site >= 0)
+        ns, nv, ok2 = fs_set(p_fs[SS], p_fv[SS], ref_seq, site, pend_v[j])
+        p_fs = p_fs.at[SS].set(jnp.where(do, ns, p_fs[SS]))
+        p_fv = p_fv.at[SS].set(jnp.where(do, nv, p_fv[SS]))
+        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
+
+    p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, ss_fs, (p_fs, p_fv, ok))
+    pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
+
+    # 4b. drop miss(X) entries covered above the new position
+    cov_rs, cov_re, cov_cnt, ok6 = missing_at_row(pd, jnp.maximum(GG, 0),
+                                                  WR_out=WR)
+    cov_cnt = jnp.where(GG >= 0, cov_cnt, 0)
+    ok = ok & ok6
+    ovl_rs, ovl_re, ovl_cnt, ok7 = rsn.combine(
+        cov_rs, cov_re, cov_cnt, pd["rs"][X], pd["re"][X], pd["rcnt"][X],
+        op="intersect", WR_out=WR)
+    has_ovl = ovl_cnt > 0
+    xrs, xre, xcnt, ok8 = rsn.combine(
+        pd["rs"][X], pd["re"][X], pd["rcnt"][X], ovl_rs, ovl_re, ovl_cnt,
+        op="minus", WR_out=WR)
+    p_rs = pd["rs"].at[X].set(jnp.where(has_ovl, xrs, pd["rs"][X]))
+    p_re = pd["re"].at[X].set(jnp.where(has_ovl, xre, pd["re"][X]))
+    p_rcnt = pd["rcnt"].at[X].set(jnp.where(has_ovl, xcnt, pd["rcnt"][X]))
+    drop_fs = rsn.contains_many(ovl_rs, ovl_re,
+                                jnp.maximum(pd["fsite"][X], 0)) \
+        & (pd["fsite"][X] >= 0) & has_ovl
+    p_fs = pd["fsite"].at[X].set(jnp.where(drop_fs, -1, pd["fsite"][X]))
+    ok = ok & jnp.where(has_ovl, ok7 & ok8, ok7)
+    pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs)
+
+    # 4c. structural attach + synthesized mid-branch row on X
+    t_X = pd["t"][X]
+    t_mid = 0.5 * (t_new + t_X)
+    lane = jnp.arange(W)
+    row_s = jnp.where(lane < ndc, nds[:W], -1).astype(jnp.int32)
+    row_f = jnp.where(lane < ndc, ndf[:W], 0)
+    row_t2 = jnp.where(lane < ndc, ndt[:W], 0)
+    row_tt = jnp.where(lane < ndc, t_mid, jnp.inf)
+    p2 = attach(pd, X, Pf, SS, t_new, row_s, row_f, row_t2, row_tt,
+                jnp.minimum(ndc, W))
+    p2 = dict(p2, rs=pd["rs"], re=pd["re"], rcnt=pd["rcnt"],
+              fsite=pd["fsite"], fstate=pd["fstate"])
+
+    # 4d. factor missations common to the new siblings up onto P
+    crs, cre, ccnt, ok9 = rsn.combine(
+        p2["rs"][X], p2["re"][X], p2["rcnt"][X], p2["rs"][SS], p2["re"][SS],
+        p2["rcnt"][SS], op="intersect", WR_out=WR)
+    hasc = ccnt > 0
+    ok = ok & ok9
+    p_rs, p_re, p_rcnt = p2["rs"], p2["re"], p2["rcnt"]
+    p_fs, p_fv = p2["fsite"], p2["fstate"]
+
+    def fac_fs(j, st):
+        p_fs, p_fv, ok = st
+        site = p_fs[X][j]
+        in_c = rsn.contains_many(crs, cre, jnp.maximum(site, 0)[None])[0]
+        do = hasc & (site >= 0) & in_c
+        ns, nv, ok2 = fs_set(p_fs[Pf], p_fv[Pf], ref_seq, site, p_fv[X][j])
+        p_fs = p_fs.at[Pf].set(jnp.where(do, ns, p_fs[Pf]))
+        p_fv = p_fv.at[Pf].set(jnp.where(do, nv, p_fv[Pf]))
+        p_fs = p_fs.at[X, j].set(jnp.where(do, -1, p_fs[X, j]))
+        siteS = p_fs[SS][j]
+        inS = rsn.contains_many(crs, cre, jnp.maximum(siteS, 0)[None])[0]
+        dS = hasc & (siteS >= 0) & inS
+        p_fs = p_fs.at[SS, j].set(jnp.where(dS, -1, p_fs[SS, j]))
+        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
+
+    p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, fac_fs, (p_fs, p_fv, ok))
+    xr, xe, xc, okA = rsn.combine(p_rs[X], p_re[X], p_rcnt[X], crs, cre,
+                                  ccnt, op="minus", WR_out=WR)
+    sr, se, sc, okB = rsn.combine(p_rs[SS], p_re[SS], p_rcnt[SS], crs, cre,
+                                  ccnt, op="minus", WR_out=WR)
+    pr, pe, pc, okC = rsn.combine(p_rs[Pf], p_re[Pf], p_rcnt[Pf], crs, cre,
+                                  ccnt, op="union", WR_out=WR)
+    p_rs = p_rs.at[X].set(jnp.where(hasc, xr, p_rs[X]))
+    p_re = p_re.at[X].set(jnp.where(hasc, xe, p_re[X]))
+    p_rcnt = p_rcnt.at[X].set(jnp.where(hasc, xc, p_rcnt[X]))
+    p_rs = p_rs.at[SS].set(jnp.where(hasc, sr, p_rs[SS]))
+    p_re = p_re.at[SS].set(jnp.where(hasc, se, p_re[SS]))
+    p_rcnt = p_rcnt.at[SS].set(jnp.where(hasc, sc, p_rcnt[SS]))
+    p_rs = p_rs.at[Pf].set(jnp.where(hasc, pr, p_rs[Pf]))
+    p_re = p_re.at[Pf].set(jnp.where(hasc, pe, p_re[Pf]))
+    p_rcnt = p_rcnt.at[Pf].set(jnp.where(hasc, pc, p_rcnt[Pf]))
+    ok = ok & jnp.where(hasc, okA & okB & okC, True)
+
+    p2 = dict(p2, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
+    return p2, ok
+
+
+# ---------------------------------------------------------------------------
+# Apply (host graft.py _apply_inner, closed-final; spr_move.cpp:977-1070)
+# ---------------------------------------------------------------------------
+
+def apply_inner_dev(p, G, c):
+    """Write the graft's hot mutations back: X's row becomes slot 0's list;
+    every other bi's mutations land on the path branch containing their
+    time, updating junction-sibling from-states below the landing.  Rows
+    are then time-sorted and clamped into their branches."""
+    ref_seq = c["ref_seq"]
+    X = G["X"]
+    N, W = p["msite"].shape
+    WH_ = G["hm_s"].shape[1]
+    parent_a, t = p["parent"], p["t"]
+
+    msite, mfrom, mto, mt = p["msite"], p["mfrom"], p["mto"], p["mt"]
+    mcount = p["mcount"]
+    fsite, fstate = p["fsite"], p["fstate"]
+    ok = jnp.bool_(True)
+
+    # X's row = slot 0 hot muts
+    lane = jnp.arange(W)
+    n0 = jnp.minimum(G["hm_cnt"][0], W)
+    ok = ok & (G["hm_cnt"][0] <= W)
+    msite = msite.at[X].set(
+        jnp.where(lane < n0, G["hm_s"][0][:W], -1).astype(jnp.int32))
+    mfrom = mfrom.at[X].set(jnp.where(lane < n0, G["hm_f"][0][:W], 0))
+    mto = mto.at[X].set(jnp.where(lane < n0, G["hm_t2"][0][:W], 0))
+    mt = mt.at[X].set(jnp.where(lane < n0, G["hm_tt"][0][:W], jnp.inf))
+    mcount = mcount.at[X].set(n0)
+
+    def per_bi(k, carry):
+        msite, mfrom, mto, mt, mcount, fsite, fstate, ok = carry
+        act = G["active"][k] & (k > 0)
+
+        def per_mut(j, st):
+            msite, mfrom, mto, mt, mcount, fsite, fstate, ok = st
+            do0 = act & (j < G["hm_cnt"][k])
+            site = G["hm_s"][k][j]
+            frm = G["hm_f"][k][j]
+            to = G["hm_t2"][k][j]
+            tm = G["hm_tt"][k][j]
+
+            def walk(li, wst):
+                cur, placed, landed, fsite, fstate, ok = wst
+                cc = jnp.maximum(cur, 0)
+                par = parent_a[cc]
+                here = (t[jnp.maximum(par, 0)] <= tm) & (tm < t[cc])
+                live = do0 & ~placed & (cur != G["A"][k]) & (cur >= 0) \
+                    & (par >= 0)
+                place = live & here
+                slide = live & ~here
+                sib = _sibling_dev(p, jnp.maximum(par, 0), cc)
+                ns, nv, ok2 = fs_set(fsite[sib], fstate[sib], ref_seq, site,
+                                     to)
+                fsite = fsite.at[sib].set(jnp.where(slide, ns, fsite[sib]))
+                fstate = fstate.at[sib].set(jnp.where(slide, nv,
+                                                      fstate[sib]))
+                ok = ok & jnp.where(slide, ok2, True)
+                landed = jnp.where(place, cur, landed)
+                cur = jnp.where(slide, par, cur)
+                placed = placed | place
+                return cur, placed, landed, fsite, fstate, ok
+
+            cur, placed, landed, fsite, fstate, ok = jax.lax.fori_loop(
+                0, P_MAX, walk,
+                (jnp.asarray(X, jnp.int32), jnp.bool_(False),
+                 jnp.int32(0), fsite, fstate, ok))
+            # append to the landing node's row
+            tgt = jnp.maximum(landed, 0)
+            pos = mcount[tgt]
+            can = pos < W
+            okp = jnp.where(do0 & placed, can, True)
+            wr = do0 & placed & can
+            msite = msite.at[tgt, jnp.minimum(pos, W - 1)].set(
+                jnp.where(wr, site, msite[tgt, jnp.minimum(pos, W - 1)]))
+            mfrom = mfrom.at[tgt, jnp.minimum(pos, W - 1)].set(
+                jnp.where(wr, frm, mfrom[tgt, jnp.minimum(pos, W - 1)]))
+            mto = mto.at[tgt, jnp.minimum(pos, W - 1)].set(
+                jnp.where(wr, to, mto[tgt, jnp.minimum(pos, W - 1)]))
+            mt = mt.at[tgt, jnp.minimum(pos, W - 1)].set(
+                jnp.where(wr, tm, mt[tgt, jnp.minimum(pos, W - 1)]))
+            mcount = mcount.at[tgt].set(jnp.where(wr, pos + 1, mcount[tgt]))
+            ok = ok & okp & jnp.where(do0, placed, True)
+            return msite, mfrom, mto, mt, mcount, fsite, fstate, ok
+
+        return jax.lax.fori_loop(
+            0, WH_, per_mut,
+            (msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+
+    msite, mfrom, mto, mt, mcount, fsite, fstate, ok = jax.lax.fori_loop(
+        0, BI_MAX, per_bi,
+        (msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+
+    # sort + clamp every bi branch row (graft.py _clamp_times)
+    def fix_row(k, carry):
+        msite, mfrom, mto, mt = carry
+        act = G["active"][k]
+        B = jnp.maximum(G["B"][k], 0)
+        A = jnp.maximum(G["A"][k], 0)
+        t_A, t_B = t[A], t[B]
+        # sort by (t, site): site-presort, then stable time sort
+        valid = jnp.arange(W) < mcount[B]
+        o_site = jnp.argsort(jnp.where(valid, msite[B], jnp.int32(2 ** 30)),
+                             stable=True)
+        o_t = jnp.argsort(jnp.where(valid[o_site], mt[B][o_site], jnp.inf),
+                          stable=True)
+        order = o_site[o_t]
+        rs_ = msite[B][order]
+        rf_ = mfrom[B][order]
+        rt2 = mto[B][order]
+        rtt = mt[B][order]
+        span = t_B - t_A
+        eps = 1e-12 * jnp.maximum(jnp.maximum(jnp.abs(t_A), jnp.abs(t_B)),
+                                  1.0)
+        lo = t_A + jnp.minimum(eps, 0.5 * span)
+        rtt = jnp.where(jnp.arange(W) < mcount[B],
+                        jnp.where(rtt <= t_A, lo,
+                                  jnp.where(rtt > t_B, t_B, rtt)), rtt)
+        msite = msite.at[B].set(jnp.where(act, rs_, msite[B]))
+        mfrom = mfrom.at[B].set(jnp.where(act, rf_, mfrom[B]))
+        mto = mto.at[B].set(jnp.where(act, rt2, mto[B]))
+        mt = mt.at[B].set(jnp.where(act, rtt, mt[B]))
+        return msite, mfrom, mto, mt
+
+    msite, mfrom, mto, mt = jax.lax.fori_loop(
+        0, BI_MAX, fix_row, (msite, mfrom, mto, mt))
+
+    p2 = dict(p, msite=msite, mfrom=mfrom, mto=mto, mt=mt, mcount=mcount,
+              fsite=fsite, fstate=fstate)
+    return p2, ok

@@ -53,9 +53,13 @@ def pack_tree(tree: FlatTree, W: int | None = None):
             msite[b, i], mfrom[b, i], mto[b, i], mt[b, i] = \
                 m.site, m.from_, m.to, m.t
     return dict(
-        parent=jnp.asarray(np.asarray(tree.parent, dtype=np.int32)),
-        children=jnp.asarray(np.asarray(tree.children, dtype=np.int32)),
-        t=jnp.asarray(np.asarray(tree.t, dtype=np.float64)),
+        # np.array(copy=True): jnp.asarray on CPU can ZERO-COPY a numpy
+        # buffer, aliasing the live FlatTree arrays — later host-side tree
+        # mutations would silently corrupt the packed tree
+        parent=jnp.asarray(np.array(tree.parent, dtype=np.int32, copy=True)),
+        children=jnp.asarray(np.array(tree.children, dtype=np.int32,
+                                      copy=True)),
+        t=jnp.asarray(np.array(tree.t, dtype=np.float64, copy=True)),
         mcount=jnp.asarray(counts.astype(np.int32)),
         msite=jnp.asarray(msite), mfrom=jnp.asarray(mfrom),
         mto=jnp.asarray(mto), mt=jnp.asarray(mt),

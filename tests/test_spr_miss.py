@@ -29,7 +29,10 @@ def _ctx_and_pack(tree, mu=2e-3, kappa=2.0):
     evo = make_evo_params(L, mu=mu, kappa=kappa)
     ctx = SprContext(tree, mu, np.asarray(evo.nu), np.asarray(evo.q),
                      np.asarray(evo.pi), can_change_root=False)
-    p = sm.pack_tree_miss(tree)
+    # generous fs width: random (non-parsimony) test trees slide many
+    # mutations, each adding sibling from-state entries
+    p = sm.pack_tree_miss(tree, WF_=4 * max(
+        len(ms) for ms in tree.mutations) + 32)
     args = dict(
         mu=jnp.float64(mu), nu=jnp.asarray(evo.nu),
         qatab=jnp.asarray(ctx.qa_tab.reshape(-1)),
@@ -183,3 +186,138 @@ def test_start_inner_dev_matches_host():
                               for s, ft in bi.hot_deltas_to_X.items()}, \
                     (seed, X, k)
     assert n_multi >= 10, f"only {n_multi} multi-BI cases exercised"
+
+
+def _trees_equal(a, b, check_fs=True):
+    assert a.root == b.root
+    np.testing.assert_array_equal(a.parent, b.parent)
+    np.testing.assert_array_equal(np.sort(np.asarray(a.children), axis=1),
+                                  np.sort(np.asarray(b.children), axis=1))
+    np.testing.assert_allclose(a.t, b.t, rtol=0, atol=0)
+    for n in range(a.num_nodes):
+        ma = [(m.site, m.from_, m.to, m.t) for m in a.mutations[n]]
+        mb = [(m.site, m.from_, m.to, m.t) for m in b.mutations[n]]
+        assert ma == mb, (n, ma, mb)
+        assert a.miss_intervals[n] == b.miss_intervals[n], n
+        if check_fs:
+            assert a.miss_from_states[n] == b.miss_from_states[n], n
+
+
+def _valid_targets(tree, X):
+    """Branches SS (not root, not in X's subtree, not X) with a regraft
+    window below t_X."""
+    t = tree.t
+    X_sub = set()
+    stack = [X]
+    while stack:
+        n = stack.pop()
+        X_sub.add(n)
+        c0, c1 = tree.children[n]
+        if int(c0) >= 0:
+            stack.extend([int(c0), int(c1)])
+    P = int(tree.parent[X])
+    out = []
+    for SS in range(tree.num_nodes):
+        if SS in X_sub or SS == tree.root:
+            continue
+        GG = int(tree.parent[SS]) if SS != P else int(tree.parent[P])
+        lo = float(t[GG]) if GG >= 0 else -np.inf
+        hi = min(float(t[SS if SS != P else _sib(tree, P, X)]),
+                 float(t[X]))
+        if hi > lo:
+            out.append((SS, lo, hi))
+    return out
+
+
+def _sib(tree, parent, child):
+    a, b = tree.children[parent]
+    return int(b) if int(a) == child else int(a)
+
+
+def test_peel_move_apply_match_host():
+    """End-to-end surgical parity on missation-laden trees: device
+    finish/peel/move/apply reproduce the host graft pipeline exactly —
+    including the missation factoring cascade and from-state slides."""
+    import functools
+    rng = np.random.default_rng(77)
+    n_cases = 0
+    for seed in range(5):
+        tree0 = _make_tree(T=14, L=250, seed=seed + 20, missing_fraction=0.15)
+        for trial in range(6):
+            tree = tree0.copy()
+            ctx, p, a = _ctx_and_pack(tree)
+            ctx.begin_move()
+            mu_prop = ctx.mu_jc()
+            WRB = 2 * p["rs"].shape[1] + 8
+            WH_ = 4 * p["msite"].shape[1]
+            inner = [X for X in range(tree.num_nodes)
+                     if X != tree.root and int(tree.parent[X]) != tree.root]
+            X = int(rng.choice(inner))
+            # keep the regraft window short: these random (non-parsimony)
+            # trees run so hot that a distant regraft legitimately overflows
+            # the mutation rows (the device correctly rejects via ok=False);
+            # parity needs performable moves
+            targets = [(SS, lo, hi) for (SS, lo, hi)
+                       in _valid_targets(tree, X)
+                       if float(tree.t[X]) - hi < 120.0]
+            if not targets:
+                continue
+            SS, lo, hi = targets[int(rng.integers(len(targets)))]
+            t_new = float(rng.uniform(max(lo, hi - 50.0), hi))
+            if t_new >= hi or t_new <= lo:
+                continue
+
+            # ---- host pipeline ----
+            g_old = ctx.analyze_graft(X)
+            ctx.peel_graft(g_old)
+            host_peel = tree.copy()
+            ctx.move(X, SS, t_new)
+            host_move = tree.copy()
+            g_new = ctx.propose_new_graft(X, rng)
+            ctx.apply_graft(g_new)
+            host_apply = tree.copy()
+
+            # ---- device pipeline ----
+            G, ok = jax.jit(functools.partial(sm.start_inner_dev, WRB=WRB,
+                                              WH_=WH_))(p, X, a)
+            assert bool(ok)
+            dG_dev, al_dev = sm.finish_dev(p, G, a, jnp.float64(mu_prop),
+                                           tree.num_sites)
+            assert float(dG_dev) == pytest.approx(g_old.delta_log_G,
+                                                  rel=1e-9, abs=1e-9)
+            assert float(al_dev) == pytest.approx(g_old.log_alpha_mut,
+                                                  rel=1e-9, abs=1e-9)
+            p_peel, ok = jax.jit(sm.peel_inner_dev)(p, G, a)
+            assert bool(ok)
+            _trees_equal(sm.unpack_tree_miss(p_peel, tree0), host_peel)
+
+            p_move, ok = jax.jit(sm.move_dev)(p_peel, X, SS,
+                                              jnp.float64(t_new), a)
+            assert bool(ok), (seed, trial, X, SS)
+            _trees_equal(sm.unpack_tree_miss(p_move, tree0), host_move)
+
+            # analysis at the new position + inject the host's proposal
+            G2, ok = jax.jit(functools.partial(sm.start_inner_dev, WRB=WRB,
+                                               WH_=WH_))(p_move, X, a)
+            assert bool(ok)
+            assert int(G2["n_bi"]) == len(g_new.branch_infos)
+            hm_s = np.full((sm.BI_MAX, WH_), -1, np.int32)
+            hm_f = np.zeros((sm.BI_MAX, WH_), np.int32)
+            hm_t2 = np.zeros((sm.BI_MAX, WH_), np.int32)
+            hm_tt = np.full((sm.BI_MAX, WH_), np.inf)
+            hm_cnt = np.zeros(sm.BI_MAX, np.int32)
+            for k, bi in enumerate(g_new.branch_infos):
+                for i, m in enumerate(bi.hot_muts_to_X):
+                    hm_s[k, i], hm_f[k, i], hm_t2[k, i], hm_tt[k, i] = \
+                        m.site, m.from_, m.to, m.t
+                hm_cnt[k] = len(bi.hot_muts_to_X)
+            G2 = dict(G2, hm_s=jnp.asarray(hm_s), hm_f=jnp.asarray(hm_f),
+                      hm_t2=jnp.asarray(hm_t2), hm_tt=jnp.asarray(hm_tt),
+                      hm_cnt=jnp.asarray(hm_cnt))
+            p_app, ok = jax.jit(sm.apply_inner_dev)(p_move, G2, a)
+            assert bool(ok), (seed, trial, X, SS)
+            _trees_equal(sm.unpack_tree_miss(p_app, tree0), host_apply)
+            out = sm.unpack_tree_miss(p_app, tree0)
+            out.check_integrity()
+            n_cases += 1
+    assert n_cases >= 15, n_cases
