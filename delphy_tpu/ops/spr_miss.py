@@ -1260,3 +1260,293 @@ def apply_inner_dev(p, G, c):
     p2 = dict(p, msite=msite, mfrom=mfrom, mto=mto, mt=mt, mcount=mcount,
               fsite=fsite, fstate=fstate)
     return p2, ok
+
+
+# ---------------------------------------------------------------------------
+# Proposal of new graft mutations (host graft.py _propose_new_graft_mutations;
+# reference spr_move.cpp:207-245, 742-797).  Closed bis only.
+# ---------------------------------------------------------------------------
+
+from . import history as _hist   # noqa: E402
+from . import spr_study as _study  # noqa: E402
+
+H_RT_MISS = 24   # round-trip-site slots per branch info
+
+
+def propose_dev(key, p_moved, G, miss_rs, miss_re, mu_prop, c, L: int,
+                H_RT_: int = H_RT_MISS):
+    """Replace G's hot-mutation rows with freshly sampled histories: per
+    closed bi, delta-site histories (min 1 event realizing the composed
+    delta) + round-trip histories (min 2 events, start = end = the state at
+    X) over the bi's hot sites; slot 0 additionally excludes sites missing
+    at X unless they are delta sites (host graft.py:419-424).  Returns
+    (G', ok)."""
+    ref_seq = c["ref_seq"]
+    X = G["X"]
+    t_X = p_moved["t"][X]
+    WH_ = G["hm_s"].shape[1]
+    KM = _hist.KMAX
+    ok = jnp.bool_(True)
+
+    hm_s = jnp.full((BI_MAX, WH_), -1, jnp.int32)
+    hm_f = jnp.zeros((BI_MAX, WH_), jnp.int32)
+    hm_t2 = jnp.zeros((BI_MAX, WH_), jnp.int32)
+    hm_tt = jnp.full((BI_MAX, WH_), jnp.inf)
+    hm_cnt = jnp.zeros(BI_MAX, jnp.int32)
+
+    keys = jax.random.split(key, 3 * BI_MAX).reshape(BI_MAX, 3, 2)
+
+    def per_bi(k, carry):
+        hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok = carry
+        act = G["active"][k]
+        T = G["T"][k]
+        size_h = rsn.row_size(G["hot_rs"][k], G["hot_re"][k],
+                              G["hot_cnt"][k])
+        Lh = jnp.where(G["compl_"][k], L - size_h, size_h)
+        act = act & (Lh > 0)
+
+        # delta-site histories
+        d_act = jnp.arange(WH_) < G["hd_cnt"][k]
+        dkeys = jax.random.split(keys[k, 0], WH_)
+        k_d, st_d, tm_d = jax.vmap(
+            lambda kk, a, b: _hist.sample_site_history(
+                kk, a, b, T, mu_prop, min_k=1))(
+            dkeys, jnp.where(d_act, G["hd_f"][k], 0),
+            jnp.where(d_act, G["hd_t"][k], 1))
+
+        # round-trip sites: hot, non-delta; slot 0 drops missing-at-X sites
+        rt_mask = _hist.sample_roundtrip_mask(keys[k, 1], L, T, mu_prop)
+        sit = jnp.arange(L)
+        in_hot = rsn.contains_many(G["hot_rs"][k], G["hot_re"][k], sit)
+        in_hot = jnp.where(G["compl_"][k], ~in_hot, in_hot)
+        hd_pad = jnp.where(d_act, G["hd_s"][k], jnp.int32(2 ** 30))
+        pos = jnp.searchsorted(hd_pad, sit)
+        pos_c = jnp.clip(pos, 0, WH_ - 1)
+        is_delta = (pos < G["hd_cnt"][k]) & (hd_pad[pos_c] == sit)
+        in_missX = rsn.contains_many(miss_rs, miss_re, sit)
+        rt_mask = rt_mask & in_hot & ~is_delta \
+            & ~((k == 0) & in_missX)
+        n_rt = jnp.sum(rt_mask).astype(jnp.int32)
+        ok_k = n_rt <= H_RT_
+        rt_sites = jnp.where(jnp.arange(H_RT_) < n_rt,
+                             jnp.argsort(~rt_mask, stable=True)[:H_RT_],
+                             -1).astype(jnp.int32)
+        rt_active = jnp.arange(H_RT_) < n_rt
+        rt_state = jax.vmap(
+            lambda s: _state_at_miss(p_moved, ref_seq, X, t_X,
+                                     jnp.maximum(s, 0)))(rt_sites)
+        rkeys = jax.random.split(keys[k, 2], H_RT_)
+        k_r, st_r, tm_r = jax.vmap(
+            lambda kk, s: _hist.sample_site_history(kk, s, s, T, mu_prop,
+                                                    min_k=2))(
+            rkeys, jnp.where(rt_active, rt_state, 0))
+
+        # assemble the bi's new history (global time order)
+        ev_site = jnp.concatenate([
+            jnp.repeat(jnp.where(d_act, G["hd_s"][k], -1), KM),
+            jnp.repeat(rt_sites, KM)])
+        ev_in_k = jnp.concatenate([
+            (jnp.arange(WH_ * KM) % KM) < jnp.repeat(k_d, KM),
+            (jnp.arange(H_RT_ * KM) % KM) < jnp.repeat(k_r, KM)])
+        ev_act = jnp.concatenate([jnp.repeat(d_act, KM),
+                                  jnp.repeat(rt_active, KM)]) & ev_in_k \
+            & (ev_site >= 0)
+        ev_to = jnp.concatenate([st_d.reshape(-1), st_r.reshape(-1)])
+        prev_d = jnp.concatenate(
+            [jnp.where(d_act, G["hd_f"][k], 0)[:, None], st_d[:, :-1]],
+            axis=1).reshape(-1)
+        prev_r = jnp.concatenate(
+            [jnp.where(rt_active, rt_state, 0)[:, None], st_r[:, :-1]],
+            axis=1).reshape(-1)
+        ev_from = jnp.concatenate([prev_d, prev_r])
+        ev_t = jnp.concatenate([tm_d.reshape(-1), tm_r.reshape(-1)]) + t_X
+        M_new = jnp.sum(ev_act).astype(jnp.int32)
+        ok_k = ok_k & (M_new <= WH_)
+        o = jnp.argsort(jnp.where(ev_act, ev_t, jnp.inf))
+        lane = jnp.arange(WH_)
+        row_s = jnp.where(lane < M_new, ev_site[o[:WH_]],
+                          -1).astype(jnp.int32)
+        row_f = jnp.where(lane < M_new, ev_from[o[:WH_]], 0)
+        row_t2 = jnp.where(lane < M_new, ev_to[o[:WH_]], 0)
+        row_tt = jnp.where(lane < M_new, ev_t[o[:WH_]], jnp.inf)
+
+        hm_s = hm_s.at[k].set(jnp.where(act, row_s, hm_s[k]))
+        hm_f = hm_f.at[k].set(jnp.where(act, row_f, hm_f[k]))
+        hm_t2 = hm_t2.at[k].set(jnp.where(act, row_t2, hm_t2[k]))
+        hm_tt = hm_tt.at[k].set(jnp.where(act, row_tt, hm_tt[k]))
+        hm_cnt = hm_cnt.at[k].set(jnp.where(act, M_new, 0))
+        ok = ok & jnp.where(act, ok_k, True)
+        return hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok
+
+    hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok = jax.lax.fori_loop(
+        0, BI_MAX, per_bi, (hm_s, hm_f, hm_t2, hm_tt, hm_cnt, ok))
+    G2 = dict(G, hm_s=hm_s, hm_f=hm_f, hm_t2=hm_t2, hm_tt=hm_tt,
+              hm_cnt=hm_cnt)
+    return G2, ok
+
+
+def _state_at_miss(p, ref_seq, branch, t0, site):
+    """State of `site` at (branch, t0): latest mutation at/above wins
+    (site_deltas.state_at) — identical to ops/spr_move._state_at_dev but
+    reading this module's packed dict (missation rows are irrelevant to
+    sequence state)."""
+    from .spr_move import _state_at_dev
+    return _state_at_dev(p, ref_seq, branch, t0, site)
+
+
+def _summarize_closed_dev(G):
+    """Union of all closed bis' hot deltas, site-sorted (host mixer
+    _summarize_closed; disjoint across bis since hot sets are disjoint)."""
+    WH_ = G["hd_s"].shape[1]
+    act = (jnp.arange(WH_)[None, :] < G["hd_cnt"][:, None]) \
+        & G["active"][:, None]
+    s = jnp.where(act, G["hd_s"], jnp.int32(2 ** 30)).reshape(-1)
+    f = G["hd_f"].reshape(-1)
+    t_ = G["hd_t"].reshape(-1)
+    o = jnp.argsort(s)
+    n = jnp.sum(s < 2 ** 30).astype(jnp.int32)
+    D = s.shape[0]
+    lane = jnp.arange(D)
+    return (jnp.where(lane < n, s[o], -1).astype(jnp.int32),
+            f[o], t_[o], n)
+
+
+# ---------------------------------------------------------------------------
+# The full jitted SPR1 move with missations (inner, can_change_root=False)
+# — the device twin of mixer._spr1 (subrun.cpp:492-675)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("L", "WRB", "WH_", "H_RT_"))
+def spr1_step_miss(key, p, L: int, c, t_max_tip, WRB: int, WH_: int,
+                   H_RT_: int = H_RT_MISS, f=0.8):
+    """One jitted SPR1 move on a missation-laden tree.  Pipeline (host
+    mixer._spr1): analyze old graft -> peel -> bounded pre-study (counted
+    mask = sites missing at X) -> pick (branch, time) -> move (full
+    missation surgery) -> analyze + propose new graft -> post-study ->
+    MH -> apply/revert.  Returns (p_out, accept, delta_log_G, performable,
+    diag).  Coalescent prior term is left to the caller (flat here, as in
+    ops/spr_move.spr1_step)."""
+    parent, children, t = p["parent"], p["children"], p["t"]
+    N, W = p["msite"].shape
+    WR = p["rs"].shape[1]
+    root = p["root"]
+    kx, kreg, ktime, kprop, kmh = jax.random.split(key, 5)
+
+    X = jax.random.randint(kx, (), 0, N, dtype=jnp.int32)
+    P0 = parent[jnp.clip(X, 0, N - 1)]
+    eligible = (X != root) & (P0 >= 0) & (P0 != root)
+    Xc = jnp.where(eligible, X, jnp.int32(0))
+    P = jnp.clip(parent[Xc], 0, N - 1)
+    eligible = eligible & (parent[Xc] >= 0) & (parent[Xc] != root)
+    c0, c1 = children[P, 0], children[P, 1]
+    S = jnp.where(c0 == Xc, c1, c0)
+    t_X = t[Xc]
+    t_P_old = t[P]
+
+    lam_X = lambda_at_dev_miss(p, Xc, c["lambda_ref"], c["mu"], c["nu"],
+                               c["qatab"], c["part"], c["ref_cum_Q"],
+                               c["ref_seq"])
+    eligible = eligible & (lam_X > 0.0)
+    mrs, mre, mcnt_m, ok = missing_at_row(p, Xc, WR_out=WR)
+    n_missX = rsn.row_size(mrs, mre, mcnt_m)
+    L_X = (L - n_missX).astype(jnp.float64)
+    eligible = eligible & (L_X > 0)
+    mu_study = lam_X / jnp.maximum(L_X, 1.0)
+    # begin_move (subrun.cpp:502): JC proposal rate from the root
+    lam_root = lambda_at_dev_miss(p, root, c["lambda_ref"], c["mu"],
+                                  c["nu"], c["qatab"], c["part"],
+                                  c["ref_cum_Q"], c["ref_seq"])
+    n_miss_root = num_missing_at_dev(p, root)
+    mu_prop = lam_root / jnp.maximum(
+        (L - n_miss_root).astype(jnp.float64), 1.0)
+
+    # old graft: analyze + finish + peel
+    G_old, ok_a = start_inner_dev(p, Xc, c, WRB=WRB, WH_=WH_)
+    ok = ok & ok_a
+    dG_old, al_old = finish_dev(p, G_old, c, mu_prop, L)
+    p_peel, ok_p = peel_inner_dev(p, G_old, c)
+    ok = ok & ok_p
+
+    # pre-study on the peeled tree
+    d0s, d0f, d0t, d0c = _summarize_closed_dev(G_old)
+    from .spr_move import study_regions
+    reg = study_regions(p_peel, Xc, t_X, d0s, d0t, d0c, S,
+                        miss_rs=mrs, miss_re=mre)
+    lw = _study.study_log_weights(reg, lam_X, f, t_X, t_max_tip, mu_study)
+    lw = jnp.where(reg["alive"], lw, -jnp.inf)
+    eligible = eligible & jnp.any(jnp.isfinite(lw))
+    u_reg = jax.random.uniform(kreg, (), dtype=jnp.float64)
+    i_fwd = _study.pick_nexus_region(u_reg, lw)
+    new_S = reg["branch"][i_fwd]
+    u_t = jax.random.uniform(ktime, (), dtype=jnp.float64)
+    t_new = _study.pick_time_in_region(u_t, i_fwd, reg, lam_X, f, t_X,
+                                       t_max_tip)
+    eligible = eligible & (t_new < t_X) & (t_new > reg["t_min"][i_fwd])
+    new_G = jnp.where(new_S != root, parent[jnp.clip(new_S, 0, N - 1)], -1)
+    new_G = jnp.where(new_G == P, parent[P], new_G)
+    t_new_G = jnp.where(new_G >= 0, t[jnp.maximum(new_G, 0)], -jnp.inf)
+    eligible = eligible & (t_new != t[jnp.clip(new_S, 0, N - 1)]) \
+        & (t_new != t_new_G)
+    alpha_fwd = _study.log_alpha_in_region(i_fwd, t_new, lw, reg, lam_X, f,
+                                           t_X, t_max_tip)
+
+    # move + new graft
+    p_move, ok_m = move_dev(p_peel, Xc, new_S, t_new, c)
+    ok = ok & ok_m
+    G_new, ok_a2 = start_inner_dev(p_move, Xc, c, WRB=WRB, WH_=WH_)
+    ok = ok & ok_a2
+    G_new, ok_pr = propose_dev(kprop, p_move, G_new, mrs, mre, mu_prop, c,
+                               L, H_RT_=H_RT_)
+    ok = ok & ok_pr
+    dG_new, al_new = finish_dev(p_move, G_new, c, mu_prop, L)
+
+    # post-study on the moved (still-peeled) tree; find the reverse region
+    d1s, d1f, d1t, d1c = _summarize_closed_dev(G_new)
+    reg_r = study_regions(p_move, Xc, t_X, d1s, d1t, d1c, new_S,
+                          miss_rs=mrs, miss_re=mre)
+    lw_r = _study.study_log_weights(reg_r, lam_X, f, t_X, t_max_tip,
+                                    mu_study)
+    lw_r = jnp.where(reg_r["alive"], lw_r, -jnp.inf)
+    S_det = S  # detach merged P's branch onto S; ids preserved
+    hit_old = (reg_r["alive"] & (reg_r["branch"] == S_det)
+               & (reg_r["t_min"] < t_P_old) & (t_P_old <= reg_r["t_max"]))
+    i_rev = jnp.argmax(hit_old)
+    found_rev = jnp.any(hit_old)
+    alpha_rev = _study.log_alpha_in_region(i_rev, t_P_old, lw_r, reg_r,
+                                           lam_X, f, t_X, t_max_tip)
+
+    log_mh = ((dG_new - al_new) - (dG_old - al_old) + alpha_rev - alpha_fwd)
+    u = jax.random.uniform(kmh, (), dtype=jnp.float64)
+    p_acc, ok_app = apply_inner_dev(p_move, G_new, c)
+    ok = ok & ok_app
+    accept = (eligible & ok & found_rev
+              & ((log_mh >= 0.0) | (jnp.log(u) < log_mh)))
+
+    p_out = jax.tree.map(
+        lambda a_, b_: jnp.where(
+            jnp.reshape(accept, (1,) * a_.ndim), b_, a_) if a_.ndim else
+        jnp.where(accept, b_, a_), p, p_acc)
+    dlg = jnp.where(accept, dG_new - dG_old, 0.0)
+    diag = dict(eligible=eligible, ok=ok, found_rev=found_rev,
+                log_mh=log_mh, n_bi_old=G_old["n_bi"],
+                n_bi_new=G_new["n_bi"], lam_X=lam_X, t_new=t_new,
+                new_S=new_S, X=Xc)
+    return p_out, accept, dlg, eligible & ok, diag
+
+
+@partial(jax.jit, static_argnames=("L", "n_moves", "WRB", "WH_", "H_RT_"))
+def spr1_sweep_miss(key, p, L: int, n_moves: int, c, t_max_tip, WRB: int,
+                    WH_: int, H_RT_: int = H_RT_MISS, f=0.8):
+    """n_moves sequential missation-aware SPR1 moves in ONE jit program."""
+    def body(carry, k):
+        p, n_acc, dlg_tot, n_perf = carry
+        p2, acc, dlg, perf, _ = spr1_step_miss(k, p, L, c, t_max_tip,
+                                               WRB=WRB, WH_=WH_,
+                                               H_RT_=H_RT_, f=f)
+        return ((p2, n_acc + acc.astype(jnp.int32), dlg_tot + dlg,
+                 n_perf + perf.astype(jnp.int32)), None)
+
+    keys = jax.random.split(key, n_moves)
+    (p, n_acc, dlg_tot, n_perf), _ = jax.lax.scan(
+        body, (p, jnp.int32(0), jnp.float64(0.0), jnp.int32(0)), keys)
+    return p, n_acc, dlg_tot, n_perf

@@ -371,12 +371,15 @@ from . import spr_study as _study  # noqa: E402
 from . import history as _hist     # noqa: E402
 
 
-def study_regions(p, X, t_X, d0_site, d0_t0, d0_cnt, seed_branch):
+def study_regions(p, X, t_X, d0_site, d0_t0, d0_cnt, seed_branch,
+                  miss_rs=None, miss_re=None):
     """Bounded (<=1 crossing) study on the padded tree, seeded at region
     (seed_branch, 0) with |d0| deltas: returns per-region arrays in
     POST-DETACH coordinates (branch, mut_idx, above, t_min, t_max, mm,
     t_S, alive) over the static region space R = N*W + N + 1 (slot R-1 is
-    the scatter sink).  Missation-free: every mutation crossing is counted.
+    the scatter sink).  With (miss_rs, miss_re) — a run row of the sites
+    missing at X — crossings at those sites are NOT counted (cost-0 edges,
+    host study.py:82-87); without, every mutation crossing is counted.
     """
     parent, children, t = p["parent"], p["children"], p["t"]
     msite, mt = p["msite"], p["mt"]
@@ -409,7 +412,12 @@ def study_regions(p, X, t_X, d0_site, d0_t0, d0_cnt, seed_branch):
 
     r_above = jnp.where(j_valid,
                         jnp.arange(MC) + fbranch, R - 1).astype(jnp.int32)
-    counted = j_valid  # no missations: every real mutation is counted
+    if miss_rs is None:
+        counted = j_valid  # no missations: every crossing is counted
+    else:
+        from . import runset as _rsn
+        counted = j_valid & ~_rsn.contains_many(miss_rs, miss_re,
+                                                jnp.maximum(fsite, 0))
 
     # junction pairs; detached/floating nodes (parent < 0) and the root get
     # the sink

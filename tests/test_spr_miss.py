@@ -321,3 +321,116 @@ def test_peel_move_apply_match_host():
             out.check_integrity()
             n_cases += 1
     assert n_cases >= 15, n_cases
+
+
+def test_spr1_step_miss_chain_ledger_and_integrity():
+    """Chain of jitted missation-aware SPR1 moves: every accepted move's
+    delta_log_G equals the oracle log_G difference, the tree stays valid in
+    canonical missation form, observed tip data is preserved, and both
+    accepts and multi-branch-info analyses occur."""
+    import oracles
+
+    MU = 4e-4
+    T, L = 12, 300
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=MU, missing_fraction=0.08, seed=31)
+    rng = np.random.default_rng(31)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    rereference_to_root_sequence(tree)
+    tree.check_integrity()
+    ctx, p, a = _ctx_and_pack(tree, mu=MU)
+    a = dict(a, mu=jnp.float64(MU))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:tree.num_tips]))
+    WRB = 2 * p["rs"].shape[1] + 8
+    WH_ = 2 * p["msite"].shape[1]
+
+    def oracle_lg(tr):
+        return oracles.log_G(tr, MU, np.asarray(a["nu"]),
+                             np.asarray(ctx.q), np.asarray(ctx.pi))
+
+    lg = oracle_lg(tree)
+    key = jax.random.PRNGKey(4)
+    n_acc = n_perf = n_multi = 0
+    tip_obs = []
+    for i in range(tree.num_tips):
+        seq = tree.sequence_at(i).copy()
+        observed = np.ones(L, bool)
+        for l in tree.missing_sites_at(i):
+            observed[l] = False
+        tip_obs.append((seq, observed))
+    for it in range(150):
+        key, k = jax.random.split(key)
+        p2, acc, dlg, perf, diag = sm.spr1_step_miss(
+            k, p, L, a, jnp.float64(t_max_tip), WRB=WRB, WH_=WH_)
+        n_perf += int(perf)
+        if bool(perf):
+            n_multi += int(int(diag["n_bi_old"]) > 1
+                           or int(diag["n_bi_new"]) > 1)
+        if bool(acc):
+            n_acc += 1
+            back = sm.unpack_tree_miss(p2, tree)
+            back.check_integrity()
+            lg2 = oracle_lg(back)
+            np.testing.assert_allclose(lg2 - lg, float(dlg),
+                                       rtol=1e-9, atol=1e-9)
+            lg = lg2
+            for i in range(back.num_tips):
+                seq, observed = tip_obs[i]
+                got = back.sequence_at(i)
+                assert (got[observed] == seq[observed]).all(), i
+                # missing sites stay missing (missation sets per tip are
+                # invariant under SPR)
+                miss_now = np.zeros(L, bool)
+                for l in back.missing_sites_at(i):
+                    miss_now[l] = True
+                assert (miss_now == ~observed).all(), i
+            p = p2
+    assert n_perf >= 50, n_perf
+    assert n_acc >= 5, n_acc
+    assert n_multi >= 3, n_multi
+
+
+def test_spr1_sweep_miss_matches_stepwise():
+    """The scanned sweep equals a Python loop of spr1_step_miss on the same
+    keys, and its accumulated delta_log_G matches the oracle recompute."""
+    import oracles
+
+    MU = 4e-4
+    T, L = 10, 200
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=MU, missing_fraction=0.1, seed=41)
+    rng = np.random.default_rng(41)
+    tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
+    rereference_to_root_sequence(tree)
+    ctx, p, a = _ctx_and_pack(tree, mu=MU)
+    a = dict(a, mu=jnp.float64(MU))
+    t_max_tip = float(np.max(np.asarray(tree.t_max)[:tree.num_tips]))
+    WRB = 2 * p["rs"].shape[1] + 8
+    WH_ = 2 * p["msite"].shape[1]
+    n_moves = 40
+    key = jax.random.PRNGKey(11)
+
+    p_sweep, n_acc, dlg_tot, n_perf = sm.spr1_sweep_miss(
+        key, p, L, n_moves, a, jnp.float64(t_max_tip), WRB=WRB, WH_=WH_)
+
+    keys = jax.random.split(key, n_moves)
+    p_step = p
+    acc2 = 0
+    dlg2 = 0.0
+    for i in range(n_moves):
+        p_step, acc, dlg, perf, _ = sm.spr1_step_miss(
+            keys[i], p_step, L, a, jnp.float64(t_max_tip), WRB=WRB, WH_=WH_)
+        acc2 += int(acc)
+        dlg2 += float(dlg)
+    assert int(n_acc) == acc2
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(p_sweep[k]),
+                                      np.asarray(p_step[k]), err_msg=k)
+    lg0 = oracles.log_G(tree, MU, np.asarray(a["nu"]), np.asarray(ctx.q),
+                        np.asarray(ctx.pi))
+    back = sm.unpack_tree_miss(p_sweep, tree)
+    back.check_integrity()
+    lg1 = oracles.log_G(back, MU, np.asarray(a["nu"]), np.asarray(ctx.q),
+                        np.asarray(ctx.pi))
+    np.testing.assert_allclose(lg1 - lg0, float(dlg_tot), rtol=1e-9,
+                               atol=1e-8)
