@@ -136,6 +136,36 @@ def fs_get(fsite_row, fstate_row, ref_seq, site):
                      ref_seq[jnp.maximum(site, 0)].astype(jnp.int32))
 
 
+def fs_bulk_add(fsite_row, fstate_row, add_site, add_val, add_mask):
+    """Append (site, value) pairs into free lanes, all at once.  Pre: the
+    added sites are NOT already present in the row (callers add sites the
+    node is newly gaining) and values are non-ref.  Returns
+    (fsite, fstate, ok); ok=False when free lanes run out."""
+    WFn = fsite_row.shape[0]
+    A = add_site.shape[0]
+    n_add = jnp.sum(add_mask).astype(jnp.int32)
+    free = fsite_row < 0
+    n_free = jnp.sum(free).astype(jnp.int32)
+    ok = n_add <= n_free
+    # rank of each added entry among the adds; rank of each free lane
+    add_rank = jnp.cumsum(add_mask) - 1
+    free_rank = jnp.cumsum(free) - 1
+    # free lane index for each rank (scatter free lanes by rank)
+    lane_of_rank = jnp.full(WFn + 1, WFn, jnp.int32).at[
+        jnp.where(free, free_rank, WFn)].set(
+        jnp.arange(WFn, dtype=jnp.int32))[:WFn]
+    tgt = jnp.where(add_mask & (add_rank < n_free),
+                    lane_of_rank[jnp.clip(add_rank, 0, WFn - 1)], WFn)
+    fsite_out = jnp.concatenate(
+        [fsite_row, jnp.zeros(1, fsite_row.dtype)]).at[tgt].set(
+        jnp.where(add_mask, add_site, 0))[:WFn]
+    fstate_out = jnp.concatenate(
+        [fstate_row, jnp.zeros(1, fstate_row.dtype)]).at[tgt].set(
+        jnp.where(add_mask, add_val, 0))[:WFn]
+    # untouched lanes keep their values (scatter only wrote targeted lanes)
+    return fsite_out, fstate_out, ok
+
+
 def fs_set(fsite_row, fstate_row, ref_seq, site, state):
     """graft.py _set_from_state: ref state erases, else upsert.  Returns
     (fsite, fstate, ok); ok=False when an append finds no free lane."""
@@ -397,17 +427,19 @@ def start_inner_dev(p, X, c, WRB: int, WH_: int = WH):
             jnp.where(msk, dl, 0.0))
         first = _first_occurrence_per_site(p["msite"][cur], msk)
 
-        def upd_fs(j, fsfs):
-            fsite_r, fstate_r, ok_ = fsfs
-            site = p["msite"][cur][j]
-            frm = p["mfrom"][cur][j]
-            ns, nv, ok2 = fs_set(fsite_r, fstate_r, ref_seq, site, frm)
-            do = first[j]
-            return (jnp.where(do, ns, fsite_r), jnp.where(do, nv, fstate_r),
-                    ok_ & jnp.where(do, ok2, True))
+        nf = jnp.sum(first).astype(jnp.int32)
+        f_ids = jnp.argsort(~first, stable=True)
 
-        sfsite_n, sfstate_n, ok_fs = jax.lax.fori_loop(
-            0, W, upd_fs, (sfsite, sfstate, jnp.bool_(True)))
+        def upd_fs(fsfs):
+            i2, fsite_r, fstate_r, ok_ = fsfs
+            j = f_ids[i2]
+            ns, nv, ok2 = fs_set(fsite_r, fstate_r, ref_seq,
+                                 p["msite"][cur][j], p["mfrom"][cur][j])
+            return i2 + 1, ns, nv, ok_ & ok2
+
+        _, sfsite_n, sfstate_n, ok_fs = jax.lax.while_loop(
+            lambda fsfs: fsfs[0] < nf, upd_fs,
+            (jnp.int32(0), sfsite, sfstate, jnp.bool_(True)))
 
         # warm_k = sliding; hot_k = warm - miss(sib); sliding' = warm - hot
         sib_rs = p["rs"][sib]
@@ -606,22 +638,23 @@ def _path_and_sibs(p, X, B):
     each junction between X and B, bottom-up."""
     parent_a = p["parent"]
 
-    def body(i, carry):
-        cur, sibs, valid = carry
-        at_end = cur == B
+    def cond(carry):
+        cur, i, sibs, n = carry
+        return (cur != B) & (cur >= 0) & (i < P_MAX) \
+            & (parent_a[jnp.maximum(cur, 0)] >= 0)
+
+    def body(carry):
+        cur, i, sibs, n = carry
         par = parent_a[jnp.maximum(cur, 0)]
         sib = _sibling_dev(p, jnp.maximum(par, 0), cur)
-        take = ~at_end & (cur >= 0) & (par >= 0)
-        sibs = sibs.at[i].set(jnp.where(take, sib, -1))
-        valid = valid.at[i].set(take)
-        cur = jnp.where(take, par, cur)
-        return cur, sibs, valid
+        sibs = sibs.at[i].set(sib)
+        return par, i + 1, sibs, n + 1
 
     sibs = jnp.full(P_MAX, -1, jnp.int32)
-    valid = jnp.zeros(P_MAX, bool)
-    _, sibs, valid = jax.lax.fori_loop(
-        0, P_MAX, body, (jnp.asarray(X, jnp.int32), sibs, valid))
-    return sibs, valid
+    _, _, sibs, n_levels = jax.lax.while_loop(
+        cond, body, (jnp.asarray(X, jnp.int32), jnp.int32(0), sibs,
+                     jnp.int32(0)))
+    return sibs, n_levels
 
 
 def peel_inner_dev(p, G, c):
@@ -641,8 +674,8 @@ def peel_inner_dev(p, G, c):
     mcount = p["mcount"]
     fsite, fstate = p["fsite"], p["fstate"]
 
-    def per_bi(k, carry):
-        msite, mfrom, mto, mt, mcount, fsite, fstate, ok = carry
+    def per_bi(carry):
+        k, msite, mfrom, mto, mt, mcount, fsite, fstate, ok = carry
         B = jnp.maximum(G["B"][k], 0)
         act = G["active"][k] & (G["B"][k] != X)
         in_warm = rsn.contains_many(G["warm_rs"][k], G["warm_re"][k],
@@ -651,31 +684,35 @@ def peel_inner_dev(p, G, c):
         sel = (jnp.arange(W) < mcount[B]) & in_warm & act
 
         # slide from-states: reversed order so the EARLIEST mutation's
-        # from_state sticks (host iterates reversed and overwrites)
-        sibs, pvalid = _path_and_sibs(p, X, G["B"][k])
+        # from_state sticks (host iterates reversed and overwrites);
+        # iterate only the selected muts (compacted, usually a handful)
+        sibs, n_levels = _path_and_sibs(p, X, G["B"][k])
+        nsel = jnp.sum(sel).astype(jnp.int32)
+        sel_ids = jnp.argsort(~sel, stable=True)  # selected lanes first
 
-        def per_mut(j_rev, fs):
-            fsite, fstate, ok = fs
-            j = W - 1 - j_rev
-            do = sel[j]
+        def per_mut(ms):
+            i, fsite, fstate, ok = ms
+            j = sel_ids[jnp.clip(nsel - 1 - i, 0, W - 1)]  # reversed order
             site = msite[B][j]
             frm = mfrom[B][j]
 
-            def per_level(li, fs2):
-                fsite, fstate, ok = fs2
+            def per_level(ls):
+                li, fsite, fstate, ok = ls
                 sib = jnp.maximum(sibs[li], 0)
                 ns, nv, ok2 = fs_set(fsite[sib], fstate[sib], ref_seq,
                                      site, frm)
-                use = do & pvalid[li]
-                fsite = fsite.at[sib].set(jnp.where(use, ns, fsite[sib]))
-                fstate = fstate.at[sib].set(jnp.where(use, nv, fstate[sib]))
-                return fsite, fstate, ok & jnp.where(use, ok2, True)
+                fsite = fsite.at[sib].set(ns)
+                fstate = fstate.at[sib].set(nv)
+                return li + 1, fsite, fstate, ok & ok2
 
-            return jax.lax.fori_loop(0, P_MAX, per_level,
-                                     (fsite, fstate, ok))
+            _, fsite, fstate, ok = jax.lax.while_loop(
+                lambda ls: ls[0] < n_levels, per_level,
+                (jnp.int32(0), fsite, fstate, ok))
+            return i + 1, fsite, fstate, ok
 
-        fsite, fstate, ok = jax.lax.fori_loop(0, W, per_mut,
-                                              (fsite, fstate, ok))
+        _, fsite, fstate, ok = jax.lax.while_loop(
+            lambda ms: ms[0] < nsel, per_mut,
+            (jnp.int32(0), fsite, fstate, ok))
 
         # keep = non-warm muts, order preserved
         keep = (jnp.arange(W) < mcount[B]) & ~in_warm
@@ -691,11 +728,13 @@ def peel_inner_dev(p, G, c):
         mto = mto.at[B].set(jnp.where(act, row_t2, mto[B]))
         mt = mt.at[B].set(jnp.where(act, row_tt, mt[B]))
         mcount = mcount.at[B].set(jnp.where(act, nkeep, mcount[B]))
-        return msite, mfrom, mto, mt, mcount, fsite, fstate, ok
+        return k + 1, msite, mfrom, mto, mt, mcount, fsite, fstate, ok
 
-    msite, mfrom, mto, mt, mcount, fsite, fstate, ok = jax.lax.fori_loop(
-        0, BI_MAX, per_bi,
-        (msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+    _, msite, mfrom, mto, mt, mcount, fsite, fstate, ok = \
+        jax.lax.while_loop(
+            lambda cr: cr[0] < G["n_bi"], per_bi,
+            (jnp.int32(0), msite, mfrom, mto, mt, mcount, fsite, fstate,
+             ok))
 
     # X's row := all hot_deltas at t_mid (disjoint sites), site-sorted
     t_mid = 0.5 * (t_P + t_X)
@@ -763,36 +802,23 @@ def move_dev(p, X, SS, t_new, c):
     rs_a, re_a, cnt_a = _node_runs(p, X)
     fsX, fvX = p["fsite"][X], p["fstate"][X]
 
-    def inherit(i, carry):
+    def inherit(carry):
         cur, rs_a, re_a, cnt_a, fsX, fvX, ok = carry
         n = jnp.maximum(cur, 0)
-        live = cur >= 0
-
-        def per_fs(j, fs):
-            fsX, fvX, ok = fs
-            site = p["fsite"][n][j]
-            do = live & (site >= 0) \
-                & rsn.contains_many(p["rs"][n], p["re"][n],
-                                    jnp.maximum(site, 0)[None])[0] \
-                & ~rsn.contains_many(rs_a, re_a,
-                                     jnp.maximum(site, 0)[None])[0]
-            ns, nv, ok2 = fs_set(fsX, fvX, ref_seq, site, p["fstate"][n][j])
-            return (jnp.where(do, ns, fsX), jnp.where(do, nv, fvX),
-                    ok & jnp.where(do, ok2, True))
-
-        fsX, fvX, ok = jax.lax.fori_loop(0, WFn, per_fs, (fsX, fvX, ok))
+        site_r = p["fsite"][n]
+        add = (site_r >= 0) \
+            & rsn.contains_many(p["rs"][n], p["re"][n],
+                                jnp.maximum(site_r, 0)) \
+            & ~rsn.contains_many(rs_a, re_a, jnp.maximum(site_r, 0))
+        fsX, fvX, okb = fs_bulk_add(fsX, fvX, site_r, p["fstate"][n], add)
         rs2, re2, cnt2, ok2 = rsn.combine(rs_a, re_a, cnt_a, p["rs"][n],
                                           p["re"][n], p["rcnt"][n],
                                           op="union", WR_out=WR)
-        rs_a = jnp.where(live, rs2, rs_a)
-        re_a = jnp.where(live, re2, re_a)
-        cnt_a = jnp.where(live, cnt2, cnt_a)
-        ok = ok & jnp.where(live, ok2, True)
-        cur = jnp.where(live, p["parent"][n], cur)
-        return cur, rs_a, re_a, cnt_a, fsX, fvX, ok
+        return (p["parent"][n], rs2, re2, cnt2, fsX, fvX, ok & ok2 & okb)
 
-    _, rs_a, re_a, cnt_a, fsX, fvX, ok = jax.lax.fori_loop(
-        0, P_MAX, inherit, (P, rs_a, re_a, cnt_a, fsX, fvX, ok))
+    _, rs_a, re_a, cnt_a, fsX, fvX, ok = jax.lax.while_loop(
+        lambda cr: cr[0] >= 0, inherit,
+        (P, rs_a, re_a, cnt_a, fsX, fvX, ok))
 
     p_rs = p["rs"].at[X].set(rs_a)
     p_re = p["re"].at[X].set(re_a)
@@ -822,54 +848,47 @@ def move_dev(p, X, SS, t_new, c):
         jnp.full(WR, rsn.BIG, jnp.int32), jnp.int32(0))
     p_fs, p_fv = pd["fsite"], pd["fstate"]
 
-    def merge_fs(j, fs):
-        p_fs, p_fv, ok = fs
-        site = p1["fsite"][P][j]
-        do = site >= 0
-        ns, nv, ok2 = fs_set(p_fs[S], p_fv[S], ref_seq, site,
-                             p1["fstate"][P][j])
-        p_fs = p_fs.at[S].set(jnp.where(do, ns, p_fs[S]))
-        p_fv = p_fv.at[S].set(jnp.where(do, nv, p_fv[S]))
-        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
-
-    p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, merge_fs, (p_fs, p_fv, ok))
+    nsS, nvS, okb = fs_bulk_add(p_fs[S], p_fv[S], p1["fsite"][P],
+                                p1["fstate"][P], p1["fsite"][P] >= 0)
+    p_fs = p_fs.at[S].set(nsS)
+    p_fv = p_fv.at[S].set(nvS)
+    ok = ok & okb
     p_fs = p_fs.at[P].set(jnp.full(WFn, -1, jnp.int32))
 
     pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
 
     # 2d. normalization cascade up from the old junction G
-    def cascade(i, carry):
-        cur, pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, going, ok = carry
+    def cascade_cond(carry):
+        cur, pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, ok = carry
+        n = jnp.maximum(cur, 0)
+        c0 = jnp.maximum(pd["children"][n, 0], 0)
+        c1 = jnp.maximum(pd["children"][n, 1], 0)
+        _, _, ccnt, _ = rsn.combine(
+            pd_rs[c0], pd_re[c0], pd_rcnt[c0], pd_rs[c1], pd_re[c1],
+            pd_rcnt[c1], op="intersect", WR_out=WR)
+        return (cur >= 0) & (ccnt > 0)
+
+    def cascade(carry):
+        cur, pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, ok = carry
         n = jnp.maximum(cur, 0)
         c0 = jnp.maximum(pd["children"][n, 0], 0)
         c1 = jnp.maximum(pd["children"][n, 1], 0)
         crs, cre, ccnt, ok1 = rsn.combine(
             pd_rs[c0], pd_re[c0], pd_rcnt[c0], pd_rs[c1], pd_re[c1],
             pd_rcnt[c1], op="intersect", WR_out=WR)
-        has = ccnt > 0
-        do = going & (cur >= 0) & has
 
-        # move c0's fs entries in common up to cur; drop c1's
-        def mv_fs(j, fs):
-            pd_fs, pd_fv, ok = fs
-            site0 = pd_fs[c0][j]
-            in_c = rsn.contains_many(crs, cre,
-                                     jnp.maximum(site0, 0)[None])[0]
-            d0 = do & (site0 >= 0) & in_c
-            ns, nv, ok2 = fs_set(pd_fs[n], pd_fv[n], ref_seq, site0,
-                                 pd_fv[c0][j])
-            pd_fs = pd_fs.at[n].set(jnp.where(d0, ns, pd_fs[n]))
-            pd_fv = pd_fv.at[n].set(jnp.where(d0, nv, pd_fv[n]))
-            pd_fs = pd_fs.at[c0, j].set(jnp.where(d0, -1, pd_fs[c0, j]))
-            site1 = pd_fs[c1][j]
-            in_c1 = rsn.contains_many(crs, cre,
-                                      jnp.maximum(site1, 0)[None])[0]
-            d1 = do & (site1 >= 0) & in_c1
-            pd_fs = pd_fs.at[c1, j].set(jnp.where(d1, -1, pd_fs[c1, j]))
-            return pd_fs, pd_fv, ok & jnp.where(d0, ok2, True)
-
-        pd_fs, pd_fv, ok = jax.lax.fori_loop(0, WFn, mv_fs,
-                                             (pd_fs, pd_fv, ok))
+        # move c0's fs entries in common up to cur (bulk; cur has no entry
+        # at these sites — they were not in its miss); drop both children's
+        m0 = (pd_fs[c0] >= 0) & rsn.contains_many(
+            crs, cre, jnp.maximum(pd_fs[c0], 0))
+        nsn, nvn, okb = fs_bulk_add(pd_fs[n], pd_fv[n], pd_fs[c0],
+                                    pd_fv[c0], m0)
+        pd_fs = pd_fs.at[n].set(nsn)
+        pd_fv = pd_fv.at[n].set(nvn)
+        pd_fs = pd_fs.at[c0].set(jnp.where(m0, -1, pd_fs[c0]))
+        m1 = (pd_fs[c1] >= 0) & rsn.contains_many(
+            crs, cre, jnp.maximum(pd_fs[c1], 0))
+        pd_fs = pd_fs.at[c1].set(jnp.where(m1, -1, pd_fs[c1]))
 
         r0s, r0e, r0c, ok2 = rsn.combine(pd_rs[c0], pd_re[c0], pd_rcnt[c0],
                                          crs, cre, ccnt, op="minus",
@@ -880,25 +899,16 @@ def move_dev(p, X, SS, t_new, c):
         rns, rne, rnc, ok4 = rsn.combine(pd_rs[n], pd_re[n], pd_rcnt[n],
                                          crs, cre, ccnt, op="union",
                                          WR_out=WR)
-        pd_rs = pd_rs.at[c0].set(jnp.where(do, r0s, pd_rs[c0]))
-        pd_re = pd_re.at[c0].set(jnp.where(do, r0e, pd_re[c0]))
-        pd_rcnt = pd_rcnt.at[c0].set(jnp.where(do, r0c, pd_rcnt[c0]))
-        pd_rs = pd_rs.at[c1].set(jnp.where(do, r1s, pd_rs[c1]))
-        pd_re = pd_re.at[c1].set(jnp.where(do, r1e, pd_re[c1]))
-        pd_rcnt = pd_rcnt.at[c1].set(jnp.where(do, r1c, pd_rcnt[c1]))
-        pd_rs = pd_rs.at[n].set(jnp.where(do, rns, pd_rs[n]))
-        pd_re = pd_re.at[n].set(jnp.where(do, rne, pd_re[n]))
-        pd_rcnt = pd_rcnt.at[n].set(jnp.where(do, rnc, pd_rcnt[n]))
-        ok = ok & jnp.where(do, ok1 & ok2 & ok3 & ok4, True)
-        going = do
-        cur = jnp.where(do, pd["parent"][n], cur)
-        return cur, pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, going, ok
+        pd_rs = pd_rs.at[c0].set(r0s).at[c1].set(r1s).at[n].set(rns)
+        pd_re = pd_re.at[c0].set(r0e).at[c1].set(r1e).at[n].set(rne)
+        pd_rcnt = pd_rcnt.at[c0].set(r0c).at[c1].set(r1c).at[n].set(rnc)
+        ok = ok & ok1 & ok2 & ok3 & ok4 & okb
+        return (pd["parent"][n], pd_rs, pd_re, pd_rcnt, pd_fs, pd_fv, ok)
 
-    cur0 = G_node
-    _, p_rs, p_re, p_rcnt, p_fs, p_fv, _, ok = jax.lax.fori_loop(
-        0, P_MAX, cascade,
-        (cur0, pd["rs"], pd["re"], pd["rcnt"], pd["fsite"], pd["fstate"],
-         jnp.bool_(True), ok))
+    _, p_rs, p_re, p_rcnt, p_fs, p_fv, ok = jax.lax.while_loop(
+        cascade_cond, cascade,
+        (G_node, pd["rs"], pd["re"], pd["rcnt"], pd["fsite"], pd["fstate"],
+         ok))
     pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
 
     # 3. recompose nexus deltas through the pruned tree; crossings at sites
@@ -908,17 +918,21 @@ def move_dev(p, X, SS, t_new, c):
     in_missX = rsn.contains_many(pd["rs"][X], pd["re"][X],
                                  jnp.maximum(bs, 0))
     lane_ok = jnp.arange(bs.shape[0]) < bc
+    cross = lane_ok & in_missX
+    n_cross = jnp.sum(cross).astype(jnp.int32)
+    cross_ids = jnp.argsort(~cross, stable=True)
 
-    def fs_cross(j, fs):
-        p_fs, p_fv, ok = fs
-        do = lane_ok[j] & in_missX[j]
+    def fs_cross(carry):
+        i, p_fs, p_fv, ok = carry
+        j = cross_ids[i]
         ns, nv, ok2 = fs_set(p_fs[X], p_fv[X], ref_seq, bs[j], bf[j])
-        p_fs = p_fs.at[X].set(jnp.where(do, ns, p_fs[X]))
-        p_fv = p_fv.at[X].set(jnp.where(do, nv, p_fv[X]))
-        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
+        p_fs = p_fs.at[X].set(ns)
+        p_fv = p_fv.at[X].set(nv)
+        return i + 1, p_fs, p_fv, ok & ok2
 
-    p_fs, p_fv, ok = jax.lax.fori_loop(0, bs.shape[0], fs_cross,
-                                       (pd["fsite"], pd["fstate"], ok))
+    _, p_fs, p_fv, ok = jax.lax.while_loop(
+        lambda cr: cr[0] < n_cross, fs_cross,
+        (jnp.int32(0), pd["fsite"], pd["fstate"], ok))
     pd = dict(pd, fsite=p_fs, fstate=p_fv)
     keep = lane_ok & ~in_missX
     bs_k = jnp.where(keep, bs, -1)
@@ -948,54 +962,37 @@ def move_dev(p, X, SS, t_new, c):
     path, depth = jax.lax.fori_loop(0, P_MAX - 1, up_body,
                                     (path, jnp.int32(0)))
 
-    def down_body(i, carry):
-        (p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt,
+    def down_body(carry):
+        (wi, p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt,
          pend_s, pend_v, ok) = carry
-        wi = depth - i              # walk root -> GG (wi >= 1)
-        live = wi >= 1
         Wn = jnp.maximum(path[jnp.maximum(wi, 0)], 0)
         below = jnp.maximum(path[jnp.maximum(wi - 1, 0)], 0)
         # need = miss(W) - miss_X
         nrs, nre, ncnt, ok1 = rsn.combine(
             p_rs[Wn], p_re[Wn], p_rcnt[Wn], p_rs[X], p_re[X], p_rcnt[X],
             op="minus", WR_out=WR)
-        has = live & (ncnt > 0)
-        # strip need from W; move W's fs entries in need to pending
+        has = ncnt > 0
+        # strip need from W; move W's fs entries in need to pending (bulk)
         wrs, wre, wcnt, ok2 = rsn.combine(
             p_rs[Wn], p_re[Wn], p_rcnt[Wn], nrs, nre, ncnt, op="minus",
             WR_out=WR)
         p_rs = p_rs.at[Wn].set(jnp.where(has, wrs, p_rs[Wn]))
         p_re = p_re.at[Wn].set(jnp.where(has, wre, p_re[Wn]))
         p_rcnt = p_rcnt.at[Wn].set(jnp.where(has, wcnt, p_rcnt[Wn]))
-
-        def move_pend(j, st):
-            p_fs, p_fv, pend_s, pend_v, ok = st
-            site = p_fs[Wn][j]
-            in_n = rsn.contains_many(nrs, nre, jnp.maximum(site, 0)[None])[0]
-            do = has & (site >= 0) & in_n
-            free = pend_s < 0
-            slot = jnp.argmax(free)
-            can = jnp.any(free)
-            pend_s = jnp.where(do & can, pend_s.at[slot].set(site), pend_s)
-            pend_v = jnp.where(do & can, pend_v.at[slot].set(p_fv[Wn][j]),
-                               pend_v)
-            p_fs = p_fs.at[Wn, j].set(jnp.where(do, -1, p_fs[Wn, j]))
-            return p_fs, p_fv, pend_s, pend_v, ok & (~do | can)
-
-        p_fs, p_fv, pend_s, pend_v, ok = jax.lax.fori_loop(
-            0, WFn, move_pend, (p_fs, p_fv, pend_s, pend_v, ok))
+        mvm = has & (p_fs[Wn] >= 0) & rsn.contains_many(
+            nrs, nre, jnp.maximum(p_fs[Wn], 0))
+        pend_s, pend_v, okp = fs_bulk_add(pend_s, pend_v, p_fs[Wn],
+                                          p_fv[Wn], mvm)
+        p_fs = p_fs.at[Wn].set(jnp.where(mvm, -1, p_fs[Wn]))
 
         # acc |= need; junction below W: off-path sibling gains acc+pending
-        ars, are_, acnt, ok3 = rsn.combine(acc_rs, acc_re, acc_cnt, nrs,
-                                           nre, ncnt, op="union", WR_out=WR)
-        acc_rs = jnp.where(live, ars, acc_rs)
-        acc_re = jnp.where(live, are_, acc_re)
-        acc_cnt = jnp.where(live, acnt, acc_cnt)
-        ok = ok & jnp.where(live, ok1 & ok2 & ok3, True)
+        acc_rs, acc_re, acc_cnt, ok3 = rsn.combine(
+            acc_rs, acc_re, acc_cnt, nrs, nre, ncnt, op="union", WR_out=WR)
+        ok = ok & ok1 & ok2 & ok3 & okp
 
         other = _sibling_dev(pd, Wn, below)
         oth = jnp.maximum(other, 0)
-        apply_j = live & (acc_cnt > 0)
+        apply_j = acc_cnt > 0
         ors, ore, ocnt, ok4 = rsn.combine(
             p_rs[oth], p_re[oth], p_rcnt[oth], acc_rs, acc_re, acc_cnt,
             op="union", WR_out=WR)
@@ -1003,27 +1000,20 @@ def move_dev(p, X, SS, t_new, c):
         p_re = p_re.at[oth].set(jnp.where(apply_j, ore, p_re[oth]))
         p_rcnt = p_rcnt.at[oth].set(jnp.where(apply_j, ocnt, p_rcnt[oth]))
         ok = ok & jnp.where(apply_j, ok4, True)
-
-        def bc_fs(j, st):
-            p_fs, p_fv, ok = st
-            site = pend_s[j]
-            do = apply_j & (site >= 0)
-            ns, nv, ok2 = fs_set(p_fs[oth], p_fv[oth], ref_seq, site,
-                                 pend_v[j])
-            p_fs = p_fs.at[oth].set(jnp.where(do, ns, p_fs[oth]))
-            p_fv = p_fv.at[oth].set(jnp.where(do, nv, p_fv[oth]))
-            return p_fs, p_fv, ok & jnp.where(do, ok2, True)
-
-        p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, bc_fs, (p_fs, p_fv, ok))
-        return (p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt,
-                pend_s, pend_v, ok)
+        nso, nvo, okb = fs_bulk_add(p_fs[oth], p_fv[oth], pend_s, pend_v,
+                                    (pend_s >= 0) & apply_j)
+        p_fs = p_fs.at[oth].set(jnp.where(apply_j, nso, p_fs[oth]))
+        p_fv = p_fv.at[oth].set(jnp.where(apply_j, nvo, p_fv[oth]))
+        ok = ok & jnp.where(apply_j, okb, True)
+        return (wi - 1, p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re,
+                acc_cnt, pend_s, pend_v, ok)
 
     pend_s0 = jnp.full(WFn, -1, jnp.int32)
     pend_v0 = jnp.zeros(WFn, jnp.int32)
-    (p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt, pend_s,
-     pend_v, ok) = jax.lax.fori_loop(
-        0, P_MAX, down_body,
-        (pd["rs"], pd["re"], pd["rcnt"], pd["fsite"], pd["fstate"],
+    (_, p_rs, p_re, p_rcnt, p_fs, p_fv, acc_rs, acc_re, acc_cnt, pend_s,
+     pend_v, ok) = jax.lax.while_loop(
+        lambda cr: cr[0] >= 1, down_body,
+        (depth, pd["rs"], pd["re"], pd["rcnt"], pd["fsite"], pd["fstate"],
          jnp.full(WR, rsn.BIG, jnp.int32), jnp.full(WR, rsn.BIG, jnp.int32),
          jnp.int32(0), pend_s0, pend_v0, ok))
     # SS itself gains the accumulated needs + pending from-states
@@ -1036,16 +1026,11 @@ def move_dev(p, X, SS, t_new, c):
     p_rcnt = p_rcnt.at[SS].set(jnp.where(apply_ss, scnt2, p_rcnt[SS]))
     ok = ok & jnp.where(apply_ss, ok5, True)
 
-    def ss_fs(j, st):
-        p_fs, p_fv, ok = st
-        site = pend_s[j]
-        do = apply_ss & (site >= 0)
-        ns, nv, ok2 = fs_set(p_fs[SS], p_fv[SS], ref_seq, site, pend_v[j])
-        p_fs = p_fs.at[SS].set(jnp.where(do, ns, p_fs[SS]))
-        p_fv = p_fv.at[SS].set(jnp.where(do, nv, p_fv[SS]))
-        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
-
-    p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, ss_fs, (p_fs, p_fv, ok))
+    nss, nvs, okb2 = fs_bulk_add(p_fs[SS], p_fv[SS], pend_s, pend_v,
+                                 (pend_s >= 0) & apply_ss)
+    p_fs = p_fs.at[SS].set(jnp.where(apply_ss, nss, p_fs[SS]))
+    p_fv = p_fv.at[SS].set(jnp.where(apply_ss, nvs, p_fv[SS]))
+    ok = ok & jnp.where(apply_ss, okb2, True)
     pd = dict(pd, rs=p_rs, re=p_re, rcnt=p_rcnt, fsite=p_fs, fstate=p_fv)
 
     # 4b. drop miss(X) entries covered above the new position
@@ -1092,22 +1077,16 @@ def move_dev(p, X, SS, t_new, c):
     p_rs, p_re, p_rcnt = p2["rs"], p2["re"], p2["rcnt"]
     p_fs, p_fv = p2["fsite"], p2["fstate"]
 
-    def fac_fs(j, st):
-        p_fs, p_fv, ok = st
-        site = p_fs[X][j]
-        in_c = rsn.contains_many(crs, cre, jnp.maximum(site, 0)[None])[0]
-        do = hasc & (site >= 0) & in_c
-        ns, nv, ok2 = fs_set(p_fs[Pf], p_fv[Pf], ref_seq, site, p_fv[X][j])
-        p_fs = p_fs.at[Pf].set(jnp.where(do, ns, p_fs[Pf]))
-        p_fv = p_fv.at[Pf].set(jnp.where(do, nv, p_fv[Pf]))
-        p_fs = p_fs.at[X, j].set(jnp.where(do, -1, p_fs[X, j]))
-        siteS = p_fs[SS][j]
-        inS = rsn.contains_many(crs, cre, jnp.maximum(siteS, 0)[None])[0]
-        dS = hasc & (siteS >= 0) & inS
-        p_fs = p_fs.at[SS, j].set(jnp.where(dS, -1, p_fs[SS, j]))
-        return p_fs, p_fv, ok & jnp.where(do, ok2, True)
-
-    p_fs, p_fv, ok = jax.lax.fori_loop(0, WFn, fac_fs, (p_fs, p_fv, ok))
+    mX = hasc & (p_fs[X] >= 0) & rsn.contains_many(
+        crs, cre, jnp.maximum(p_fs[X], 0))
+    nsp, nvp, okb3 = fs_bulk_add(p_fs[Pf], p_fv[Pf], p_fs[X], p_fv[X], mX)
+    p_fs = p_fs.at[Pf].set(nsp)
+    p_fv = p_fv.at[Pf].set(nvp)
+    p_fs = p_fs.at[X].set(jnp.where(mX, -1, p_fs[X]))
+    mS = hasc & (p_fs[SS] >= 0) & rsn.contains_many(
+        crs, cre, jnp.maximum(p_fs[SS], 0))
+    p_fs = p_fs.at[SS].set(jnp.where(mS, -1, p_fs[SS]))
+    ok = ok & okb3
     xr, xe, xc, okA = rsn.combine(p_rs[X], p_re[X], p_rcnt[X], crs, cre,
                                   ccnt, op="minus", WR_out=WR)
     sr, se, sc, okB = rsn.combine(p_rs[SS], p_re[SS], p_rcnt[SS], crs, cre,
@@ -1160,68 +1139,69 @@ def apply_inner_dev(p, G, c):
     mt = mt.at[X].set(jnp.where(lane < n0, G["hm_tt"][0][:W], jnp.inf))
     mcount = mcount.at[X].set(n0)
 
-    def per_bi(k, carry):
-        msite, mfrom, mto, mt, mcount, fsite, fstate, ok = carry
-        act = G["active"][k] & (k > 0)
+    def per_bi(carry):
+        k, msite, mfrom, mto, mt, mcount, fsite, fstate, ok = carry
 
-        def per_mut(j, st):
-            msite, mfrom, mto, mt, mcount, fsite, fstate, ok = st
-            do0 = act & (j < G["hm_cnt"][k])
+        def per_mut(st):
+            j, msite, mfrom, mto, mt, mcount, fsite, fstate, ok = st
             site = G["hm_s"][k][j]
             frm = G["hm_f"][k][j]
             to = G["hm_t2"][k][j]
             tm = G["hm_tt"][k][j]
 
-            def walk(li, wst):
+            def walk_cond(wst):
+                cur, placed = wst[0], wst[1]
+                par = parent_a[jnp.maximum(cur, 0)]
+                return ~placed & (cur != G["A"][k]) & (cur >= 0) \
+                    & (par >= 0)
+
+            def walk(wst):
                 cur, placed, landed, fsite, fstate, ok = wst
                 cc = jnp.maximum(cur, 0)
                 par = parent_a[cc]
                 here = (t[jnp.maximum(par, 0)] <= tm) & (tm < t[cc])
-                live = do0 & ~placed & (cur != G["A"][k]) & (cur >= 0) \
-                    & (par >= 0)
-                place = live & here
-                slide = live & ~here
                 sib = _sibling_dev(p, jnp.maximum(par, 0), cc)
-                ns, nv, ok2 = fs_set(fsite[sib], fstate[sib], ref_seq, site,
-                                     to)
-                fsite = fsite.at[sib].set(jnp.where(slide, ns, fsite[sib]))
-                fstate = fstate.at[sib].set(jnp.where(slide, nv,
-                                                      fstate[sib]))
-                ok = ok & jnp.where(slide, ok2, True)
-                landed = jnp.where(place, cur, landed)
-                cur = jnp.where(slide, par, cur)
-                placed = placed | place
-                return cur, placed, landed, fsite, fstate, ok
+                ns, nv, ok2 = fs_set(fsite[sib], fstate[sib], ref_seq,
+                                     site, to)
+                fsite = fsite.at[sib].set(jnp.where(here, fsite[sib], ns))
+                fstate = fstate.at[sib].set(jnp.where(here, fstate[sib],
+                                                      nv))
+                ok = ok & jnp.where(here, True, ok2)
+                landed = jnp.where(here, cur, landed)
+                cur = jnp.where(here, cur, par)
+                return cur, placed | here, landed, fsite, fstate, ok
 
-            cur, placed, landed, fsite, fstate, ok = jax.lax.fori_loop(
-                0, P_MAX, walk,
+            cur, placed, landed, fsite, fstate, ok = jax.lax.while_loop(
+                walk_cond, walk,
                 (jnp.asarray(X, jnp.int32), jnp.bool_(False),
                  jnp.int32(0), fsite, fstate, ok))
             # append to the landing node's row
             tgt = jnp.maximum(landed, 0)
-            pos = mcount[tgt]
-            can = pos < W
-            okp = jnp.where(do0 & placed, can, True)
-            wr = do0 & placed & can
-            msite = msite.at[tgt, jnp.minimum(pos, W - 1)].set(
-                jnp.where(wr, site, msite[tgt, jnp.minimum(pos, W - 1)]))
-            mfrom = mfrom.at[tgt, jnp.minimum(pos, W - 1)].set(
-                jnp.where(wr, frm, mfrom[tgt, jnp.minimum(pos, W - 1)]))
-            mto = mto.at[tgt, jnp.minimum(pos, W - 1)].set(
-                jnp.where(wr, to, mto[tgt, jnp.minimum(pos, W - 1)]))
-            mt = mt.at[tgt, jnp.minimum(pos, W - 1)].set(
-                jnp.where(wr, tm, mt[tgt, jnp.minimum(pos, W - 1)]))
-            mcount = mcount.at[tgt].set(jnp.where(wr, pos + 1, mcount[tgt]))
-            ok = ok & okp & jnp.where(do0, placed, True)
-            return msite, mfrom, mto, mt, mcount, fsite, fstate, ok
+            pos = jnp.minimum(mcount[tgt], W - 1)
+            wr = placed & (mcount[tgt] < W)
+            msite = msite.at[tgt, pos].set(
+                jnp.where(wr, site, msite[tgt, pos]))
+            mfrom = mfrom.at[tgt, pos].set(
+                jnp.where(wr, frm, mfrom[tgt, pos]))
+            mto = mto.at[tgt, pos].set(jnp.where(wr, to, mto[tgt, pos]))
+            mt = mt.at[tgt, pos].set(jnp.where(wr, tm, mt[tgt, pos]))
+            mcount = mcount.at[tgt].set(
+                jnp.where(wr, mcount[tgt] + 1, mcount[tgt]))
+            ok = ok & wr
+            return (j + 1, msite, mfrom, mto, mt, mcount, fsite, fstate,
+                    ok)
 
-        return jax.lax.fori_loop(
-            0, WH_, per_mut,
-            (msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+        j0 = jnp.int32(0)
+        (j0, msite, mfrom, mto, mt, mcount, fsite, fstate,
+         ok) = jax.lax.while_loop(
+            lambda st: st[0] < G["hm_cnt"][k], per_mut,
+            (j0, msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+        return k + 1, msite, mfrom, mto, mt, mcount, fsite, fstate, ok
 
-    msite, mfrom, mto, mt, mcount, fsite, fstate, ok = jax.lax.fori_loop(
-        0, BI_MAX, per_bi,
-        (msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
+    (_, msite, mfrom, mto, mt, mcount, fsite, fstate,
+     ok) = jax.lax.while_loop(
+        lambda cr: cr[0] < G["n_bi"], per_bi,
+        (jnp.int32(1), msite, mfrom, mto, mt, mcount, fsite, fstate, ok))
 
     # sort + clamp every bi branch row (graft.py _clamp_times)
     def fix_row(k, carry):

@@ -238,10 +238,9 @@ def compose_events(site, frm, to, valid):
     All scatters use UNIQUE indices (one first / one last per site group):
     XLA scatter-set gives no ordering guarantee under duplicates."""
     D = site.shape[0]
-    stamp = jnp.arange(D)
-    key = jnp.where(valid, site.astype(jnp.int64), jnp.int64(2 ** 40)) \
-        * (2 * D) + stamp
-    o = jnp.argsort(key)
+    # stable sort by site (invalid last) keeps the event order within each
+    # site group — x32-safe (no int64 composite key)
+    o = jnp.argsort(jnp.where(valid, site, jnp.int32(2 ** 30)), stable=True)
     s, f, t_, v = site[o], frm[o], to[o], valid[o]
     prev_s = jnp.concatenate([jnp.full(1, -2, s.dtype), s[:-1]])
     next_s = jnp.concatenate([s[1:], jnp.full(1, -2, s.dtype)])
@@ -394,8 +393,8 @@ def study_regions(p, X, t_X, d0_site, d0_t0, d0_cnt, seed_branch,
     rid_base = moff[:N] + jnp.arange(N, dtype=moff.dtype)
 
     # flat mutation arrays (CSR by branch, time order within branch)
-    rows = jnp.repeat(jnp.arange(N), W).reshape(N, W)
-    cols = jnp.tile(jnp.arange(W), N).reshape(N, W)
+    rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), W).reshape(N, W)
+    cols = jnp.tile(jnp.arange(W, dtype=jnp.int32), N).reshape(N, W)
     valid = cols < mcount[:, None]
     flat_pos = jnp.where(valid, moff[:N][:, None] + cols, MC)
     fsite = jnp.full(MC + 1, -1, jnp.int32).at[flat_pos].set(

@@ -1,0 +1,89 @@
+"""ESS/hour at scale (VERDICT r2 next-#4; BASELINE's primary mixing metric).
+
+Runs the production driver on a synthetic dataset of T tips for WINDOW
+seconds, sampling the posterior trace every SAMPLE_EVERY dispatch, and
+reports ESS + ESS/hour for log_posterior, mu and t_root
+(initial-positive-sequence estimator, delphy_tpu/ess.py).
+
+Env knobs:
+  ESS_T        tips (default 1000)
+  ESS_L        sites (default 29903)
+  ESS_WINDOW   seconds of sampling (default 1800)
+  ESS_CHUNKS   override topology_burst_chunks (0 = engine default) — the
+               cadence-comparison lever (amortized vs interleaved bursts)
+Usage (TPU): DELPHY_TPU_F32=1 python scripts/ess_at_scale.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("DELPHY_TPU_F32", "1")
+
+import numpy as np
+
+import delphy_tpu  # noqa: F401
+
+
+def main():
+    from delphy_tpu.sim import simulate_dataset
+    from delphy_tpu.init_tree import build_initial_tree
+    from delphy_tpu.run import Run
+    from delphy_tpu.ess import ess
+
+    T = int(os.environ.get("ESS_T", "1000"))
+    L = int(os.environ.get("ESS_L", "29903"))
+    window = float(os.environ.get("ESS_WINDOW", "1800"))
+    chunks = int(os.environ.get("ESS_CHUNKS", "0"))
+
+    t0 = time.time()
+    ref, deltas, miss, dates, names, _ = simulate_dataset(
+        T, L, mu=1.0e-3 / 365, sample_window_days=700.0,
+        missing_fraction=0.02, seed=42)
+    tree = build_initial_tree(ref, deltas, miss, dates, names=names,
+                              rng=np.random.default_rng(42))
+    print(f"[ess +{time.time()-t0:.0f}s] tree built ({T}x{L})", flush=True)
+    run = Run(tree, seed=1, num_cells=400)
+    if chunks > 0:
+        run.topology_burst_chunks = chunks
+    n = run.local_moves_per_global_move * run.topology_burst_chunks
+    run.do_mcmc_steps(n)  # warm/compile
+    print(f"[ess +{time.time()-t0:.0f}s] warm "
+          f"(chunks={run.topology_burst_chunks}, P={run.device_partitions})",
+          flush=True)
+
+    lp, mus, troots = [], [], []
+    t_start = time.time()
+    base = run.local_moves_attempted
+    import jax
+    while time.time() - t_start < window:
+        run.do_mcmc_steps(n)
+        lp.append(run.log_posterior)
+        mus.append(float(jax.device_get(run.evo.mu)))
+        troots.append(float(jax.device_get(run.ts.t[run.ts.root])))
+    dt = time.time() - t_start
+    moves = run.local_moves_attempted - base
+    run.check_derived_quantities(5e-2)
+    hours = dt / 3600.0
+    out = {
+        "T": T, "L": L, "window_s": round(dt, 1),
+        "samples": len(lp),
+        "moves": int(moves),
+        "moves_per_s": round(moves / dt, 1),
+        "topology_burst_chunks": run.topology_burst_chunks,
+        "topology_proposed": int(run.topology_proposed),
+        "ess_log_post": round(ess(np.array(lp)), 1),
+        "ess_mu": round(ess(np.array(mus)), 1),
+        "ess_t_root": round(ess(np.array(troots)), 1),
+        "ess_per_hour_log_post": round(ess(np.array(lp)) / hours, 1),
+        "ess_per_hour_mu": round(ess(np.array(mus)) / hours, 1),
+        "ess_per_hour_t_root": round(ess(np.array(troots)) / hours, 1),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)
