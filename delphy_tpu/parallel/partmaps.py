@@ -143,6 +143,18 @@ def auto_num_partitions(num_tips: int, max_parts: int = 32) -> int:
     return max(1, min(num_tips // 10, need))
 
 
+def part_size_cap() -> int:
+    """Hard upper bound on nodes per part, enforced by the oversized-part
+    splitter (topo.partition.split_oversized_cuts) for multi-part runs.
+    Default = 3/4 of the Pallas NC gate so the padded n_cap stays on the
+    fused-kernel path whenever the MEAN part size allows."""
+    import os
+    cap = int(os.environ.get("DELPHY_TPU_PART_CAP", "0"))
+    if cap > 0:
+        return cap
+    return (3 * int(os.environ.get("DELPHY_TPU_PALLAS_NC_MAX", "1024"))) // 4
+
+
 def _round8(n: int) -> int:
     return (max(n, 4) + 7) // 8 * 8
 
@@ -169,6 +181,13 @@ def build_part_maps(tree: FlatTree, mut_node: np.ndarray,
             mx = max(sizes)
             if best_mx is None or mx < best_mx:
                 best_mx, cut_points = mx, cand
+        # hard-cap the worst part: best-of-6 still overshoots the mean 3-8x
+        # at 100k tips, and n_cap (the Pallas VMEM mask edge) is set by the
+        # worst part.
+        cap = part_size_cap()
+        if best_mx is not None and best_mx > cap:
+            from ..topo.partition import split_oversized_cuts
+            cut_points = split_oversized_cuts(tree, cut_points, cap)
     cut_set = set(int(c) for c in cut_points)
     cut_set.add(root)
 

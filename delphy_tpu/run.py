@@ -192,6 +192,7 @@ class Run:
         self._host_tree = tree          # topology/t synced at repartition
         self._n_cap_sticky = 0
         self._m_cap_sticky = 0
+        self._P_sticky = 0
         # flipped off permanently if the fused Pallas kernel's compile
         # exceeds scoped VMEM for this problem's shapes (falls back to XLA)
         self._allow_pallas = True
@@ -248,6 +249,20 @@ class Run:
         P = self.device_partitions
         pm = build_part_maps(tree, host_mut_nodes(tree, self.mut_capacity),
                              P, self.host_rng)
+        # the oversized-part splitter (partmaps.py) can RAISE the actual
+        # part count above the requested stencil size; pad the part axis to
+        # a sticky width (8-aligned, mesh-divisible) so jit shapes stay put.
+        # When the splitter never fires this reduces to the old exact-P pad.
+        D = int(self.mesh.size) if self.mesh is not None else 1
+
+        def _round_parts(p):
+            q = (p + 7) // 8 * 8
+            return (q + D - 1) // D * D
+        if self._P_sticky < P:
+            self._P_sticky = P
+        if pm.num_parts > self._P_sticky:
+            self._P_sticky = _round_parts(int(1.1 * pm.num_parts))
+        P = self._P_sticky
         if self._n_cap_sticky == 0:
             # headroom for stencil-to-stencil variation (with best-of-K
             # stencils the max part size varies ~10%, measured at 10k tips);
@@ -261,6 +276,14 @@ class Run:
             nc_gate = int(_os.environ.get("DELPHY_TPU_PALLAS_NC_MAX", "1024"))
             if pm.n_cap <= nc_gate < self._n_cap_sticky <= int(1.1 * nc_gate):
                 self._n_cap_sticky = nc_gate
+            if P > 1:
+                # the oversized-part splitter bounds EVERY stencil's worst
+                # part at part_size_cap(), so headroom above it is dead
+                # VMEM/compute (masks are O(n_cap^2))
+                from .parallel.partmaps import part_size_cap
+                hard = _round16(max(part_size_cap(), pm.n_cap))
+                if self._n_cap_sticky > hard:
+                    self._n_cap_sticky = hard
             self._m_cap_sticky = _round16(2 * pm.m_cap + 16)
         # quantized growth so cap bumps (=> recompiles) are rare
         if pm.n_cap > self._n_cap_sticky:

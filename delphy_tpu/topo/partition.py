@@ -77,6 +77,59 @@ def generate_random_partition_stencil(tree: FlatTree, num_parts: int,
     return cut_points
 
 
+def split_oversized_cuts(tree: FlatTree, cut_points: list, cap: int) -> list:
+    """Add cut points until every part has <= cap nodes (frozen-tip copies
+    of cut children count toward the parent part, matching partition_tree's
+    node collection).
+
+    The greedy stencil generator's parts routinely overshoot the mean 3-8x
+    (the residual root part, and subtrees that jump past min_size at a
+    binary join), and the Pallas sweep kernel's VMEM masks are O(n_cap^2)
+    with n_cap set by the WORST part — at 100k tips the overshoot alone
+    pushes the run off the fused kernel.  One post-order pass: wherever the
+    running within-part size exceeds cap, cut the larger child until it
+    fits.  Every resulting part is <= cap because a node's children are
+    finalized (each <= cap) before the node itself is examined."""
+    N = tree.num_nodes
+    is_cut = np.zeros(N, dtype=bool)
+    for c in cut_points:
+        is_cut[int(c)] = True
+    is_cut[int(tree.root)] = True
+    size = np.ones(N, dtype=np.int64)
+    extra: list = []
+    # deterministic post-order (children before parents)
+    order = []
+    stack = [(int(tree.root), False)]
+    while stack:
+        n, emitted = stack.pop()
+        if emitted or tree.is_tip(n):
+            order.append(n)
+            continue
+        stack.append((n, True))
+        stack.append((int(tree.children[n, 0]), False))
+        stack.append((int(tree.children[n, 1]), False))
+    for n in order:
+        if tree.is_tip(n):
+            continue
+        c0, c1 = int(tree.children[n, 0]), int(tree.children[n, 1])
+
+        def part_size():
+            return (1 + (1 if is_cut[c0] else int(size[c0]))
+                    + (1 if is_cut[c1] else int(size[c1])))
+
+        s = part_size()
+        while s > cap:
+            cands = [c for c in (c0, c1) if not is_cut[c] and size[c] > 1]
+            if not cands:
+                break
+            big = max(cands, key=lambda c: int(size[c]))
+            is_cut[big] = True
+            extra.append(big)
+            s = part_size()
+        size[n] = s
+    return list(cut_points) + extra
+
+
 @dataclass
 class PartitionPart:
     tree: FlatTree            # tips-first relabeled part

@@ -226,3 +226,47 @@ def test_run_partitioned_determinism():
     a, b = go(), go()
     assert a.log_posterior == b.log_posterior
     np.testing.assert_array_equal(np.asarray(a.ts.parent), np.asarray(b.ts.parent))
+
+
+def test_split_oversized_cuts_bounds_every_part():
+    from delphy_tpu.topo.partition import split_oversized_cuts
+    tree = make_tree(seed=9, T=120, L=300)
+    rng = np.random.default_rng(9)
+    cap = 40
+    stencil = generate_random_partition_stencil(tree, 4, rng)
+    split = split_oversized_cuts(tree, stencil, cap)
+    assert set(stencil) <= set(split)
+    parts = partition_tree(tree, split)
+    sizes = [p.tree.num_nodes for p in parts]
+    assert max(sizes) <= cap, sizes
+    # still a valid partition: round-trips and conserves nodes
+    before = fingerprint(tree)
+    assert sum(sizes) == tree.num_nodes + len(split)
+    for p in parts:
+        p.tree.check_integrity()
+    reassemble(tree, parts)
+    assert fingerprint(tree) == before
+
+
+def test_split_oversized_cuts_no_op_when_under_cap():
+    from delphy_tpu.topo.partition import split_oversized_cuts
+    tree = make_tree(seed=10, T=40)
+    rng = np.random.default_rng(10)
+    stencil = generate_random_partition_stencil(tree, 4, rng)
+    split = split_oversized_cuts(tree, stencil, cap=10**6)
+    assert sorted(split) == sorted(stencil)
+
+
+def test_run_part_cap_engages_and_ledger_green(monkeypatch):
+    """A Run whose stencil overshoots the cap still sweeps correctly with
+    the split engaged (part axis grows past the requested P)."""
+    monkeypatch.setenv("DELPHY_TPU_PART_CAP", "24")
+    from delphy_tpu.run import Run
+    tree = make_tree(seed=11, T=60, L=300)
+    run = Run(tree, seed=3, num_cells=64, device_partitions=4)
+    sizes = np.asarray(run.pm.n_nodes)
+    assert int(sizes.max()) <= 24
+    assert run.pm.node_map.shape[0] >= 4
+    run.do_mcmc_steps(3 * run.local_moves_per_global_move)
+    run.check_derived_quantities(tol=1e-6)
+    run.tree().check_integrity()
