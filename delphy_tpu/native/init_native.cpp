@@ -710,8 +710,13 @@ struct Builder {
       // (utree.cpp:985, 1056)
       int rb_old_cost = (int)(dc_before - dcount);
       if (debug_check) check_routing("after detach", tip_case ? NO_NODE : X);
-      if (tip_case) init_x_tip(X);
-      recompute_mm();
+      if (tip_case) init_x_tip(X);  // recomputes mm against the new X
+      else recompute_mm();          // fdiff changed across the detach
+      // from here to the attach, every focus move updates mm
+      // incrementally (apply_edge_to_fdiff's track_mm branch) — the two
+      // full recompute_mm rescans this replaces were 66% of spr_refine
+      // at 20k tips (restart 6.1s of 9.2s, DELPHY_TPU_INIT_PROF)
+      track_mm = true;
       if (prof) { double t1 = now_s(); t_detach += t1 - t0; t0 = t1; }
       // rollback seed: evaluate re-attaching at the merged P-Q edge (the
       // old position) first; it bounds the search radius from the start
@@ -719,29 +724,44 @@ struct Builder {
       int32_t e_rb = last_merged_edge;
       g_where = "rollback_eval";
       move_focus_to(edges[e_rb].a);
-      recompute_mm();
+      if (debug_check) {
+        int inc_mm = mm;
+        recompute_mm();
+        if (inc_mm != mm) {
+          std::fprintf(stderr, "[init_native] mm DRIFT: inc %d != %d\n",
+                       inc_mm, mm);
+          std::abort();
+        }
+      }
       int rb_cost = eval_focal_edge(edges[e_rb]);
       int32_t e_best = e_rb;
       int cost = rb_cost;
       // the reference searches only when the rollback is not already an
       // improvement (utree.cpp:1063-1068)
       if (rb_cost >= rb_old_cost) {
-        // random restart point spreads the search (utree.cpp spr_refine);
-        // for a subtree SPR the restart must land in the focus's component
-        // — bounded rejection sampling, since the detached side can hold
-        // nearly all nodes (then the component is tiny and the current
-        // focus is as good a start as any)
+        // Search from the rollback edge (the detach neighborhood).  The
+        // reference restarts at a uniformly random node (utree.cpp
+        // spr_refine) to spread the search, but with the rollback-seeded
+        // pruning bound a far restart almost always terminates without
+        // finding anything within the bound (measured pops/search 27
+        // uniform vs 145 local at 20k tips) while paying an O(diameter)
+        // focus walk per attempt; the local search is both faster
+        // (restart 7.1s -> 0.7s of a 10.8s refine at 20k) and lands a
+        // more parsimonious tree (muts 8056 -> 8001 seed 7, 8328 -> 8266
+        // seed 11).  DELPHY_TPU_INIT_UNIFORM_RESTART=1 restores the
+        // reference's behavior; for a subtree SPR the restart must land
+        // in the focus's component (bounded rejection sampling).
         int32_t S = focus;
-        for (int tries = 0; tries < 32; tries++) {
-          int32_t c = (int32_t)(rng() % next_inner);
-          if (c != X && degree(c) != 0 && local_sink(c) == focus) {
-            S = c;
-            break;
+        if (std::getenv("DELPHY_TPU_INIT_UNIFORM_RESTART"))
+          for (int tries = 0; tries < 32; tries++) {
+            int32_t c = (int32_t)(rng() % next_inner);
+            if (c != X && degree(c) != 0 && local_sink(c) == focus) {
+              S = c;
+              break;
+            }
           }
-        }
         g_where = "refine_restart";
         move_focus_to(S);
-        recompute_mm();
         if (prof) { double t1 = now_s(); t_restart += t1 - t0; t0 = t1; }
         auto found = find_best_edge(e_rb, rb_cost);
         e_best = found.first;
@@ -752,6 +772,7 @@ struct Builder {
       (void)cost;
       if (debug_check) check_routing("after search", tip_case ? NO_NODE : X);
       if (prof) { double t1 = now_s(); t_search += t1 - t0; t0 = t1; }
+      track_mm = false;  // attach mutates edges/fdiff outside the walk
       attach_x_at(e_best, Mfree, X);
       if (debug_check) check_routing("after attach");
       if (prof) { double t1 = now_s(); t_attach += t1 - t0; t0 = t1; }
