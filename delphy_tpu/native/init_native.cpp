@@ -365,7 +365,8 @@ struct Builder {
   // position, as in the reference's spr_refine: utree.cpp:986-996) that
   // tightens the pruning radius from the first expansion
   std::pair<int32_t, int> find_best_edge(int32_t seed_edge = NO_EDGE,
-                                         int seed_cost = INT32_MAX) {
+                                         int seed_cost = INT32_MAX,
+                                         int64_t max_pops = INT64_MAX) {
     fbe_calls++;
     track_mm = true;
     int best_cost = mm;
@@ -390,11 +391,13 @@ struct Builder {
       record(c, e);
       pq.push({c, e});
     }
+    int64_t pops = 0;
     while (!pq.empty()) {
       auto [prio, e_in] = pq.top();
       pq.pop();
       fbe_pops++;
       if (prio > best_cost + pruning_threshold(best_cost)) break;
+      if (++pops > max_pops) break;
       // the popped edge may no longer be focal; route focus to its far end
       int32_t far = edges[e_in].other(
           toward_focus_side(e_in));
@@ -674,6 +677,14 @@ struct Builder {
     if (T <= 3) return;
     debug_check = std::getenv("DELPHY_TPU_INIT_CHECK") != nullptr;
     const bool prof = std::getenv("DELPHY_TPU_INIT_PROF") != nullptr;
+    // optional cap on the refine search's best-first expansion: the search
+    // radius grows with the mutation-free neighborhood (measured
+    // pops/search 145 at 20k tips -> 285 at 50k), so huge trees can spend
+    // most of refine flooding; a cap trades a little placement quality for
+    // bounded search cost.  0 = unbounded (default).
+    int64_t max_pops = INT64_MAX;
+    if (const char* mp = std::getenv("DELPHY_TPU_INIT_MAX_POPS"))
+      if (int64_t v = std::atoll(mp); v > 0) max_pops = v;
     double t_detach = 0, t_restart = 0, t_search = 0, t_attach = 0,
            t_count = 0;
     int64_t n_att = 0;
@@ -763,7 +774,7 @@ struct Builder {
         g_where = "refine_restart";
         move_focus_to(S);
         if (prof) { double t1 = now_s(); t_restart += t1 - t0; t0 = t1; }
-        auto found = find_best_edge(e_rb, rb_cost);
+        auto found = find_best_edge(e_rb, rb_cost, max_pops);
         e_best = found.first;
         cost = found.second;
       } else if (prof) {
