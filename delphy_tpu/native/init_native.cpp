@@ -858,9 +858,30 @@ extern "C" int64_t delphy_build_initial_topology(
                         (int32_t)(m_off[i + 1] - m_off[i])};
   }
 
-  // ---- phase 1: guide tree (input order) ----------------------------------
-  B.add_first_two(0, 1);
-  for (int32_t i = 2; i < T; i++) B.add_tip(i);
+  // ---- phase 1: guide tree ------------------------------------------------
+  // Insertion in delta-lexicographic order instead of input order: similar
+  // tips arrive consecutively, so each placement search starts (via the
+  // focus left at the previous attach) near its destination — the same
+  // locality that makes the phase-2 nearest-first rebuild cheap.  The guide
+  // only feeds the phase-2 Dijkstra metric, so the order is free to choose.
+  // DELPHY_TPU_INIT_INPUT_ORDER=1 restores input order.
+  {
+    std::vector<int32_t> gorder(T);
+    for (int32_t i = 0; i < T; i++) gorder[i] = i;
+    if (!std::getenv("DELPHY_TPU_INIT_INPUT_ORDER"))
+      std::sort(gorder.begin(), gorder.end(), [&](int32_t a, int32_t b) {
+        const TipView &ta = B.tips[a], &tb = B.tips[b];
+        int32_t n = std::min(ta.n_d, tb.n_d);
+        for (int32_t k = 0; k < n; k++) {
+          if (ta.d_site[k] != tb.d_site[k]) return ta.d_site[k] < tb.d_site[k];
+          if (ta.d_state[k] != tb.d_state[k]) return ta.d_state[k] < tb.d_state[k];
+        }
+        if (ta.n_d != tb.n_d) return ta.n_d < tb.n_d;
+        return a < b;
+      });
+    B.add_first_two(gorder[0], gorder[1]);
+    for (int32_t i = 2; i < T; i++) B.add_tip(gorder[i]);
+  }
 
   stage("guide");
   // ---- phase 2: nearest-first rebuild -------------------------------------
