@@ -677,14 +677,18 @@ struct Builder {
     if (T <= 3) return;
     debug_check = std::getenv("DELPHY_TPU_INIT_CHECK") != nullptr;
     const bool prof = std::getenv("DELPHY_TPU_INIT_PROF") != nullptr;
-    // optional cap on the refine search's best-first expansion: the search
-    // radius grows with the mutation-free neighborhood (measured
-    // pops/search 145 at 20k tips -> 285 at 50k), so huge trees can spend
-    // most of refine flooding; a cap trades a little placement quality for
-    // bounded search cost.  0 = unbounded (default).
-    int64_t max_pops = INT64_MAX;
+    // cap on the refine search's best-first expansion: the search radius
+    // grows with the mutation-free neighborhood (measured pops/search 145
+    // at 20k tips -> 285 at 50k -> 483 at 100k), so huge trees spend most
+    // of refine flooding.  Capping at 128 cut refine 157s -> 50s at 100k
+    // for +0.4% mutations (18095 vs 18016) — noise for an MCMC starting
+    // point — so it is the default at >=50k tips; unbounded below, where
+    // the flood is cheap.  DELPHY_TPU_INIT_MAX_POPS overrides (-1 =
+    // unbounded).
+    int64_t max_pops = T >= 50000 ? 128 : INT64_MAX;
     if (const char* mp = std::getenv("DELPHY_TPU_INIT_MAX_POPS"))
-      if (int64_t v = std::atoll(mp); v > 0) max_pops = v;
+      if (int64_t v = std::atoll(mp); v != 0)
+        max_pops = v > 0 ? v : INT64_MAX;
     double t_detach = 0, t_restart = 0, t_search = 0, t_attach = 0,
            t_count = 0;
     int64_t n_att = 0;
