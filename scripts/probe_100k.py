@@ -35,15 +35,23 @@ def main():
     tree = pickle.load(open("/tmp/tree100k_run.pkl", "rb"))
     log(f"tree loaded: {tree.num_tips} tips, {tree.num_mutations()} muts")
 
-    # full config (topology on) — steady boundary time
-    run = Run(tree, seed=7, num_cells=400)
-    log(f"P={run.pm.node_map.shape[0]} n_cap={run._n_cap_sticky} "
-        f"m_cap={run._m_cap_sticky} lmpgm={run.local_moves_per_global_move}")
-    bt = boundary_time(run)
-    log(f"boundary (topology on, pallas={run._allow_pallas}): {bt:.2f}s "
-        f"= {run.local_moves_per_global_move/bt:,.0f} moves/s")
-    del run
+    # part-size-cap sweep (topology off: pure sweep+globals boundary time);
+    # compute per block is O(P * NC^2) while attempted moves are O(P * mean
+    # part fill) — a tighter cap trades grid steps for mask area
+    for cap in [int(c) for c in
+                os.environ.get("PROBE_CAPS", "768,504,376,248").split(",")]:
+        os.environ["DELPHY_TPU_PART_CAP"] = str(cap)
+        r = Run(tree, seed=7, num_cells=400, topology_moves_enabled=False)
+        sizes = np.asarray(r.pm.n_nodes)
+        bt = boundary_time(r)
+        log(f"cap={cap}: P={r.pm.node_map.shape[0]} n_cap={r._n_cap_sticky} "
+            f"mean_fill={sizes[sizes>0].mean():.0f} "
+            f"boundary {bt:.2f}s = "
+            f"{r.local_moves_per_global_move/bt:,.0f} moves/s "
+            f"(pallas={r._allow_pallas})")
+        del r
 
+    os.environ.pop("DELPHY_TPU_PART_CAP", None)
     # globals-only cost: tiny lmpgm makes the sweep negligible
     rg = Run(tree, seed=7, num_cells=400, topology_moves_enabled=False,
              local_moves_per_global_move=2000)
