@@ -22,10 +22,17 @@ def log(m):
 
 
 def boundary_time(run, n_boundaries=3):
+    """Steady-state wall per boundary.  The warm call must use the SAME
+    n_boundaries: the dispatcher's `boundaries` arg is a static Python int,
+    so a different value compiles a fresh ~20s XLA program at 100k shapes —
+    warming with 1 boundary and timing 3 measures the compiler, not the
+    sweep (the round-3 cap-sweep numbers in doc/BENCH_LOG_r03.md §probe
+    were dominated by exactly that)."""
     n = run.local_moves_per_global_move
-    run.do_mcmc_steps(n)          # warm/compile
+    run.do_mcmc_steps(n * n_boundaries)   # warm/compile the same program
     tA = time.time()
     run.do_mcmc_steps(n * n_boundaries)
+    _ = run.local_moves_attempted         # blocks on the in-flight queue
     return (time.time() - tA) / n_boundaries
 
 
