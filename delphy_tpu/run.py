@@ -434,8 +434,15 @@ class Run:
         if env:
             return max(1, int(env))
         T = self.ts.num_tips
-        # more parts than workers improves load balance across the pool
-        return max(1, min(2 * (os.cpu_count() or 1), T // 10))
+        # more parts than workers improves load balance across the pool,
+        # and at scale small parts bound the SPR study floods: on sparse
+        # parsimony trees (0.09 muts/branch at 100k) the flood roams the
+        # whole mutation-free neighborhood, so the per-move marginal cost
+        # measured 28.1 us at 8 parts vs 8.1 us at 256 (100k tips,
+        # doc/BENCH_LOG_r03.md).  Target ~400 nodes/part, capped at 512
+        # parts; small trees keep the load-balance default.
+        return max(1, min(2 * (os.cpu_count() or 1), T // 10),
+                   min(512, T // 400))
 
     def _topology_burst(self, n_moves: int):
         from .topo import TopologyMixer
