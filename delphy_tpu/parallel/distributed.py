@@ -53,6 +53,56 @@ def initialize_from_env() -> bool:
     return True
 
 
+def mesh_spans_processes(mesh) -> bool:
+    """True when the mesh's devices belong to more than one JAX process —
+    the multi-host (DCN) regime, where Run must build GLOBAL arrays."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def replicate_to_mesh(pytree, mesh):
+    """device_put every array leaf of `pytree` fully replicated over the
+    mesh (non-array leaves pass through).  Every process must supply
+    identical values — the replicated-compute contract of the multi-host
+    driver (each host runs the same deterministic host program, so no
+    broadcast collective is needed)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+
+    def place(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return jax.device_put(np.asarray(x), sh)
+        return x
+
+    return jax.tree.map(place, pytree)
+
+
+def shard_parts_to_mesh(pm, mesh):
+    """Build the partition maps as GLOBAL arrays sharded over the ("part",)
+    axis from PROCESS-LOCAL rows: each process feeds only the part rows its
+    addressable devices own (jax.make_array_from_process_local_data), so the
+    part axis never ships whole across DCN.  `pm` is the host (numpy)
+    PartMaps pytree with a leading P axis on every leaf."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("part"))
+
+    def place(a):
+        a = np.ascontiguousarray(a)
+        im = sh.addressable_devices_indices_map(a.shape)
+        starts = [(sl[0].start or 0) for sl in im.values()]
+        stops = [(sl[0].stop if sl[0].stop is not None else a.shape[0])
+                 for sl in im.values()]
+        local = a[min(starts):max(stops)]
+        return jax.make_array_from_process_local_data(sh, local, a.shape)
+
+    return jax.tree.map(place, pm)
+
+
 def global_part_mesh(max_devices: int | None = None):
     """A ("part",) Mesh over the GLOBAL device list (all processes).  Device
     order is jax.devices() order, so processes agree on the assignment and

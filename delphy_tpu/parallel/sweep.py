@@ -594,6 +594,16 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
     # (~0.3-0.7 s tunnel dispatch latency)
     from ..state import fuse_for_host
     fused = fuse_for_host((ts, evo, pop_params))
+    if mesh is not None:
+        # pin every output fully replicated: the host driver (and, on a
+        # multi-PROCESS mesh, every controller) reads these eagerly, which
+        # requires fully-addressable-or-replicated arrays; GSPMD left alone
+        # may shard large outputs.  No-op numerically.
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        rep = NamedSharding(mesh, _P())
+        (ts, evo, pop_params, key, ledger, stats, fused) = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep),
+            (ts, evo, pop_params, key, ledger, stats, fused))
     return ts, evo, pop_params, key, ledger, stats, fused
 
 

@@ -183,6 +183,13 @@ class Run:
         self.mesh = mesh
         if mesh is not None and tuple(mesh.axis_names) != ("part",):
             raise ValueError('Run mesh must have a single "part" axis')
+        # multi-host (DCN) regime: the mesh spans >1 JAX process.  Every
+        # process runs this same deterministic host program (replicated
+        # compute), while device arrays become GLOBAL jax.Arrays — partition
+        # maps sharded over "part" from process-local rows, everything else
+        # replicated.  See parallel/distributed.py.
+        from .parallel.distributed import mesh_spans_processes
+        self._multiprocess = mesh is not None and mesh_spans_processes(mesh)
         self.device_partitions = (device_partitions if device_partitions > 0
                                   else auto_num_partitions(tree.num_tips))
         if mesh is not None:
@@ -210,6 +217,18 @@ class Run:
         self._inflight: list = []
         self.ledger: Ledger | None = None
         self.last_stats = None
+        if self._multiprocess:
+            self._place_replicated()
+
+    def _place_replicated(self):
+        """Multi-host: lift host-built state to GLOBAL replicated arrays over
+        the mesh (each process supplies identical values — the deterministic
+        replicated host program is the broadcast)."""
+        from .parallel.distributed import replicate_to_mesh
+        (self.ts, self.evo, self.pop, self.tin, self.tout,
+         self.key) = replicate_to_mesh(
+            (self.ts, self.evo, self.pop, self.tin, self.tout, self.key),
+            self.mesh)
 
     # -- lazy attempted-move accounting -------------------------------------
 
@@ -292,7 +311,11 @@ class Run:
             self._m_cap_sticky = _round16(int(1.5 * pm.m_cap))
         pm = pad_part_maps(pm, P, self._n_cap_sticky, self._m_cap_sticky,
                            tree.num_nodes, self.mut_capacity)
-        self.pm = jax.tree.map(jnp.asarray, pm)
+        if getattr(self, "_multiprocess", False):
+            from .parallel.distributed import shard_parts_to_mesh
+            self.pm = shard_parts_to_mesh(pm, self.mesh)
+        else:
+            self.pm = jax.tree.map(jnp.asarray, pm)
         n_cap = self._n_cap_sticky
         self._sweep_k_max = n_cap
         self._sweep_reform_batch = max(4, n_cap // 2)  # budgeting only
@@ -396,8 +419,12 @@ class Run:
             self._inflight.append((self.last_stats["local_moves_attempted"],
                                    boundaries, n_blocks))
             # opportunistic non-blocking drain; cap the in-flight queue so the
-            # host can't run unboundedly ahead of the device
-            self._drain_inflight(block=False)
+            # host can't run unboundedly ahead of the device.  Multi-host runs
+            # drain BLOCKING: is_ready() is timing-dependent, and the
+            # _per_block_rate feedback it gates feeds the traced n_blocks
+            # argument — processes must compute identical values or their
+            # trajectories diverge under the collectives.
+            self._drain_inflight(block=self._multiprocess)
             while len(self._inflight) > 3:
                 arr, b_, nb_ = self._inflight.pop(0)
                 self._attempted_done += int(arr)
@@ -575,6 +602,10 @@ class Run:
         # device partition maps must be rebuilt from the new tree
         self._host_tree = tree
         self._repartition()
+        if self._multiprocess:
+            from .parallel.distributed import replicate_to_mesh
+            self.ts, self.tin, self.tout = replicate_to_mesh(
+                (self.ts, self.tin, self.tout), self.mesh)
         _stage("repartition")
 
     # -- observability --------------------------------------------------------
