@@ -26,12 +26,18 @@ from .global_moves import PriorConfig
 
 def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
                      tin, tout, t_max_tip, hyp: PriorConfig, num_cells: int,
-                     allow_pallas: bool = True):
+                     allow_pallas: bool = True, param_moves: bool = True):
     """Global moves + grid rebuild + ledger recompute (run.cpp:695-779).
 
     allow_pallas is the runtime kill-switch run.py toggles after a
     Mosaic/VMEM failure: it must disable EVERY Pallas kernel in the
-    super-step (sweep chain, HKY chain, exp-pop chain), not just the sweep."""
+    super-step (sweep chain, HKY chain, exp-pop chain), not just the sweep.
+
+    param_moves=False skips every parameter move but keeps the per-boundary
+    grid rebuild + caches + full ledger recompute — the "locals-only"
+    boundary used by the overlapped topology driver (run.py), where global
+    parameter moves must not run concurrently with a host topology burst
+    (the burst's MH reads the params the global moves would write)."""
     cnt, nucum = lk.calc_ref_state_prefix(ts, evo)
     root_freq = lk.calc_root_state_frequencies(ts, evo, cnt)
     num_muts = lk.calc_num_muts(ts)
@@ -40,7 +46,9 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
 
     key, k_mu, k_hky, k_alpha, k_pop = jax.random.split(key, 5)
 
-    if hyp.mpox_enabled:
+    if not param_moves:
+        pass
+    elif hyp.mpox_enabled:
         # 1 & 2. Gibbs sampling of mu & mu_star under the 2-partition APOBEC
         # model (run.cpp:720-724, 823-952)
         M_beta_ab = lk.calc_num_muts_beta_ab(ts, evo)
@@ -75,7 +83,7 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
                 evo, _ = jax.lax.fori_loop(0, 10, hky_body, (evo, k_hky))
 
     # 3. alpha moves + Gibbs of all nu_l (run.cpp:729-732)
-    if hyp.alpha_move_enabled:
+    if param_moves and hyp.alpha_move_enabled:
         Ttwiddle_l = lk.calc_Ttwiddle_l(ts, evo, tin, tout)
         M_l = lk.calc_num_muts_l(ts)
         evo = gm.alpha_and_nu_moves(k_alpha, evo, Ttwiddle_l, M_l, hyp)
@@ -91,7 +99,9 @@ def run_global_moves(ts: TreeState, evo: EvoParams, pop_params, key,
     grid = coal.make_grid(pop_params, ts.t, is_tip, t_lo, t_step, num_cells)
 
     # 4. Pseudo-Gibbs sampling of population parameters (run.cpp:749-778)
-    if isinstance(pop_params, popm.ExpPopParams) and (
+    if not param_moves:
+        pass
+    elif isinstance(pop_params, popm.ExpPopParams) and (
             hyp.pop_size_move_enabled or hyp.pop_growth_rate_move_enabled):
         pop_params = gm.exp_pop_moves(k_pop, pop_params, grid, ts.t, is_tip, hyp,
                                       allow_pallas=allow_pallas)

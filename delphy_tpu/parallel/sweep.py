@@ -448,13 +448,13 @@ def scatter_deltas(pm, num_nodes: int, num_mut_slots: int, dt_p, dmut_p):
 def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
                    n_blocks, t_max_tip, hyp, num_cells: int,
                    k_max: int, reform_batch: int, mesh=None,
-                   allow_pallas: bool = True):
+                   allow_pallas: bool = True, param_moves: bool = True):
     """One boundary: global moves (replicated) + partitioned local sweep.
     With mesh=None the parts fan out via vmap on one device; with a mesh they
     shard over its ("part",) axis under shard_map with psum reassembly."""
     ts, evo, pop_params, grid, caches, ledger, key, stats = run_global_moves(
         ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells,
-        allow_pallas=allow_pallas)
+        allow_pallas=allow_pallas, param_moves=param_moves)
 
     # per-part lineage staircases + auxiliary-field resample (a Gibbs update
     # of the decoupling fields, very_scalable_coalescent.cpp:198-219)
@@ -562,11 +562,12 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
 @partial(jax.jit, static_argnames=("hyp", "num_cells", "n_boundaries",
                                    "k_max", "reform_batch", "allow_pallas",
-                                   "mesh"))
+                                   "mesh", "param_moves"))
 def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
                            pm, n_blocks, t_max_tip, hyp, num_cells: int,
                            n_boundaries: int, k_max: int, reform_batch: int,
-                           allow_pallas: bool = True, mesh=None):
+                           allow_pallas: bool = True, mesh=None,
+                           param_moves: bool = True):
     """n_boundaries partitioned super-steps in ONE dispatch.
 
     mesh=None fans the parts out via vmap on one device; with a
@@ -579,7 +580,7 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
         ts, evo, pop_params, key, ledger, stats = _boundary_body(
             ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
             hyp, num_cells, k_max, reform_batch, mesh=mesh,
-            allow_pallas=allow_pallas)
+            allow_pallas=allow_pallas, param_moves=param_moves)
         return (ts, evo, pop_params, key), (ledger, stats)
 
     (ts, evo, pop_params, key), (ledgers, stats_seq) = jax.lax.scan(

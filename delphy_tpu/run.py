@@ -92,8 +92,16 @@ class Run:
         # restencil cadence is DECOUPLED from topology_burst_chunks: raising
         # the burst chunk count for small trees must not also stretch how
         # often frozen cut-point times get resampled (the slow-switching
-        # argument of run.cpp:87-108 assumes a steady refresh interval)
-        self.restencil_interval = 32
+        # argument of run.cpp:87-108 assumes a steady refresh interval).
+        # Default 200 boundaries = the reference's own stencil-refresh
+        # cadence (200 * local_moves_per_global_move, run.cpp:106); round 3
+        # shipped 32, which at small-tree shapes forced 8x more dispatches
+        # plus a host restencil (device sync + map rebuild + re-upload)
+        # every dispatch — measured as the round-3 Ebola headline regression
+        # (2.40 -> 1.86 M moves/s; scripts/ab_ebola.py, doc/BENCH_LOG_r04.md)
+        import os as _os
+        self.restencil_interval = int(
+            _os.environ.get("DELPHY_TPU_RESTENCIL", "200"))
         self._topo_debt = 0
         self.host_rng = np.random.default_rng(np.uint64(seed) + 0x9E3779B97F4A7C15)
         self.topology_accepted = 0
