@@ -160,12 +160,19 @@ def _round8(n: int) -> int:
 
 
 def build_part_maps(tree: FlatTree, mut_node: np.ndarray,
-                    num_parts: int, rng: np.random.Generator) -> PartMaps:
+                    num_parts: int, rng: np.random.Generator,
+                    return_cuts: bool = False) -> PartMaps:
     """Build PartMaps from the current tree + the packed global mutation pool.
 
     mut_node: host copy of TreeState.mut_node (global pool slot -> global node,
     -1 free).  Root-sequence deltas (slots on the global root) belong to no
-    part — the sweep never touches them."""
+    part — the sweep never touches them.
+
+    return_cuts: also return the final cut-point list (post-splitter, root
+    excluded).  topo.partition.partition_tree over the same list produces
+    host parts in the SAME order as these maps' part rows (both sort the cut
+    set by (c != root, c)) — the correspondence the overlapped topology
+    driver relies on."""
     N = tree.num_nodes
     root = int(tree.root)
     # best-of-K stencils by max part size: the greedy generator's residual
@@ -304,7 +311,7 @@ def build_part_maps(tree: FlatTree, mut_node: np.ndarray,
         mut_scatter[p, j] = slots[k]
         mut_node_local[p, j] = locs[k]
 
-    return PartMaps(
+    pm = PartMaps(
         node_map=node_map, parent=parent, children=children,
         part_root=part_root, is_run_root=is_run_root,
         n_leaves=n_leaves_arr, n_nodes=n_nodes_arr, sign=sign,
@@ -313,3 +320,6 @@ def build_part_maps(tree: FlatTree, mut_node: np.ndarray,
         mut_node_local=mut_node_local,
         part_t_lo=part_t_lo, part_t_hi=part_t_hi,
         part_id=np.arange(P, dtype=np.int32))
+    if return_cuts:
+        return pm, sorted(c for c in cut_set if c != root)
+    return pm

@@ -448,10 +448,20 @@ def scatter_deltas(pm, num_nodes: int, num_mut_slots: int, dt_p, dmut_p):
 def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
                    n_blocks, t_max_tip, hyp, num_cells: int,
                    k_max: int, reform_batch: int, mesh=None,
-                   allow_pallas: bool = True, param_moves: bool = True):
+                   allow_pallas: bool = True, param_moves: bool = True,
+                   part_sel=None):
     """One boundary: global moves (replicated) + partitioned local sweep.
     With mesh=None the parts fan out via vmap on one device; with a mesh they
-    shard over its ("part",) axis under shard_map with psum reassembly."""
+    shard over its ("part",) axis under shard_map with psum reassembly.
+
+    part_sel (i32[P_sel], optional): sweep only these part rows — the device
+    half of the overlapped topology driver (run.py), where the host bursts
+    the complement concurrently.  The vsc fields are still sampled over ALL
+    parts (the augmentation conditions on the full boundary state; the
+    unselected parts' k_bar contributions stay frozen at their dispatch
+    values, exactly like the reference's frozen cut-point conditioning,
+    run.cpp:682-693), and only the sweep fan-out is gathered down — so the
+    device does P_sel/P of the work instead of masking rows in place."""
     ts, evo, pop_params, grid, caches, ledger, key, stats = run_global_moves(
         ts, evo, pop_params, key, tin, tout, t_max_tip, hyp, num_cells,
         allow_pallas=allow_pallas, param_moves=param_moves)
@@ -473,6 +483,16 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
     mm = jnp.maximum(pm.mut_map, 0)
     mut_t_p = ts.mut_t[mm]
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(k_sweep, pm.part_id)
+    if part_sel is not None:
+        # gather the sweep fan-out down to the selected parts (leading-axis
+        # rows); fields/k_bar above were computed over the FULL part stack
+        sel = part_sel
+        ctx = jax.tree.map(lambda a: a[sel], ctx)
+        k_p = k_p[sel]
+        t_p = t_p[sel]
+        mut_t_p = mut_t_p[sel]
+        keys = keys[sel]
+        pm = jax.tree.map(lambda a: a[sel], pm)
     sh = SweepShared(A=fields.A, popsize_bar=grid.popsize_bar,
                      t_lo=grid.t_lo, t_step=grid.t_step,
                      t_max_tip=jnp.asarray(t_max_tip, t_p.dtype))
@@ -567,7 +587,7 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
                            pm, n_blocks, t_max_tip, hyp, num_cells: int,
                            n_boundaries: int, k_max: int, reform_batch: int,
                            allow_pallas: bool = True, mesh=None,
-                           param_moves: bool = True):
+                           param_moves: bool = True, part_sel=None):
     """n_boundaries partitioned super-steps in ONE dispatch.
 
     mesh=None fans the parts out via vmap on one device; with a
@@ -575,12 +595,15 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
     psum reassembly — the production multi-chip driver (the reference's
     thread fan-out + reassemble, run.cpp:622-693, over ICI instead of a
     thread pool).  Trajectories are bit-identical across the two modes."""
+    assert not (mesh is not None and part_sel is not None), \
+        "overlap part selection is single-device for now (gather breaks the part sharding)"
     def body(carry, _):
         ts, evo, pop_params, key = carry
         ts, evo, pop_params, key, ledger, stats = _boundary_body(
             ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
             hyp, num_cells, k_max, reform_batch, mesh=mesh,
-            allow_pallas=allow_pallas, param_moves=param_moves)
+            allow_pallas=allow_pallas, param_moves=param_moves,
+            part_sel=part_sel)
         return (ts, evo, pop_params, key), (ledger, stats)
 
     (ts, evo, pop_params, key), (ledgers, stats_seq) = jax.lax.scan(

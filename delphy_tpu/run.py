@@ -274,8 +274,9 @@ class Run:
         if sync_times:
             tree.t = np.asarray(jax.device_get(self.ts.t), dtype=np.float64).copy()
         P = self.device_partitions
-        pm = build_part_maps(tree, host_mut_nodes(tree, self.mut_capacity),
-                             P, self.host_rng)
+        pm, self._last_cuts = build_part_maps(
+            tree, host_mut_nodes(tree, self.mut_capacity), P, self.host_rng,
+            return_cuts=True)
         # the oversized-part splitter (partmaps.py) can RAISE the actual
         # part count above the requested stencil size; pad the part axis to
         # a sticky width (8-aligned, mesh-divisible) so jit shapes stay put.
@@ -354,6 +355,186 @@ class Run:
 
     # -- MCMC ---------------------------------------------------------------
 
+    def _overlap_active(self) -> bool:
+        """Overlapped dispatch/burst mode: device sweeps one random half of
+        the partition set while the host runs the topology burst on the
+        complement (VERDICT r3 next-#6).  Valid because both halves condition
+        on the same frozen boundary values — the same fork-join argument as
+        the reference's thread fan-out (run.cpp:682-693), with the device and
+        the host as the two workers.  Global parameter moves run in their own
+        (non-overlapped) boundary so no kernel reads params another writes."""
+        import os
+        env = os.environ.get("DELPHY_TPU_OVERLAP", "auto")
+        if env == "0" or env == "auto":
+            # default OFF until the measured TPU comparison flips it
+            # (doc/BENCH_LOG_r04.md); enable with DELPHY_TPU_OVERLAP=1
+            return False
+        n_real = len(self._last_cuts) + 1
+        return (self.topology_moves_enabled and self.mesh is None
+                and not self._multiprocess and n_real >= 4)
+
+    def _do_mcmc_steps_overlapped(self, n_steps: int):
+        """Overlap cycles: [G: one globals boundary] -> enqueue
+        [L: locals-only boundaries on device-half A] -> host burst on
+        complement-half B (concurrent with L) -> merge -> repartition."""
+        from .topo.parallel import run_bursts_on_parts
+        from .topo.partition import partition_tree, reassemble
+        from .topo.mixer import HostExpPop, HostSkygridPop, HostCoalGrid
+        from .topo.reform import resample_multi_site_chains
+        from .phylo import rereference_to_root_sequence
+        from .state import split_for_host, fetch_fused
+        import os as _os
+
+        cadence = self.local_moves_per_global_move
+        max_dispatch = int(_os.environ.get("DELPHY_TPU_MAX_DISPATCH_MOVES",
+                                           str(32_000_000)))
+        done = 0
+        while done < n_steps:
+            remaining = n_steps - done
+            boundaries = max(1, min(self.topology_burst_chunks,
+                                    self.restencil_interval,
+                                    max(1, max_dispatch // max(1, cadence)),
+                                    remaining // cadence))
+            chunk = min(remaining, boundaries * cadence)
+            per_boundary = (chunk + boundaries - 1) // boundaries
+
+            # host tree must mirror the device state (steady state: it does,
+            # the merge below repacks it; entering from the non-overlap path:
+            # sync once from the fused bundle)
+            if self._fused_bundle is not None:
+                ints_h, flts_h = jax.device_get(self._fused_bundle)
+                ts_h, _evo_h, _pop_h = split_for_host(
+                    (self.ts, self.evo, self.pop), ints_h, flts_h)
+                self._host_tree = unpack_state(ts_h, names=self.names)
+                self._fused_bundle = None
+                self._repartition()
+            tree = self._host_tree
+
+            # A/B split over the REAL parts of the current stencil
+            P_sticky = self.pm.node_map.shape[0]
+            n_real = len(self._last_cuts) + 1
+            W = max(1, P_sticky // 2)
+            perm = self.host_rng.permutation(n_real)
+            n_dev = min(W, max(1, n_real - 1))
+            A = np.sort(perm[:n_dev])
+            B = np.sort(perm[n_dev:])
+            sel = np.full(W, n_real, np.int32)  # pad rows (n_nodes=0) no-op
+            sel[:n_dev] = A
+            assert P_sticky > n_real or n_dev == W, \
+                "selection width exceeds real parts with no padding rows"
+
+            # G: one globals-only boundary (params + full ledger recompute)
+            from .parallel.sweep import parts_multi_super_step
+            (ts_g, evo_g, pop_g, key_g, _ledger_g, _stats_g,
+             _fused_g) = parts_multi_super_step(
+                self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
+                self.pm, 0, self.t_max_tip, self.hyp, self.num_cells, 1,
+                self._sweep_k_max, self._sweep_reform_batch,
+                allow_pallas=self._allow_pallas, mesh=None, param_moves=True)
+            # L: locals-only boundaries on the device half (enqueued before
+            # the burst starts; the tunnel runs it while the host works)
+            from .parallel.sweep import PALLAS_NB_MAX, pallas_enabled
+            from . import pop as _popm
+            use_pallas = (self._allow_pallas and pallas_enabled()
+                          and isinstance(self.pop, _popm.ExpPopParams))
+            nb_cap = PALLAS_NB_MAX if use_pallas else 512
+            n_blocks = max(1, min(nb_cap, round(
+                per_boundary / max(1.0, self._per_block_rate * n_dev
+                                   / max(1, n_real)))))
+            (ts_l, evo_l, pop_l, key_l, ledger_l, stats_l,
+             fused_l) = parts_multi_super_step(
+                ts_g, evo_g, pop_g, key_g, self.tin, self.tout, self.pm,
+                n_blocks, self.t_max_tip, self.hyp, self.num_cells,
+                boundaries, self._sweep_k_max, self._sweep_reform_batch,
+                allow_pallas=self._allow_pallas, mesh=None,
+                param_moves=False, part_sel=jnp.asarray(sel))
+
+            # pull G's params (small; blocks only until G completes) and run
+            # the host burst on the B half while the device runs L
+            evo_h, pop_h = jax.device_get((evo_g, pop_g))
+            mu, nu, q, pi = (float(evo_h.mu), np.asarray(evo_h.nu),
+                             np.asarray(evo_h.q), np.asarray(evo_h.pi))
+            part, q_tab = np.asarray(evo_h.part), np.asarray(evo_h.q_tab)
+            if isinstance(self.pop, popm.SkygridPopParams):
+                host_pop = HostSkygridPop(np.asarray(pop_h.x),
+                                          np.asarray(pop_h.gamma),
+                                          self.pop.type)
+            else:
+                host_pop = HostExpPop(pop_h.t0, pop_h.n0, pop_h.g,
+                                      pop_h.min_pop)
+
+            parts = partition_tree(tree, self._last_cuts)
+            B_parts = [parts[i] for i in B]
+            self._topo_debt += int(self.host_rng.binomial(chunk, 2.0 / 30.0))
+            budget = self._topo_debt
+            self._topo_debt = 0
+            dlg, acc, prop = run_bursts_on_parts(
+                tree, parts, budget, host_pop, mu, nu, q, pi,
+                self.host_rng, num_cells=min(self.num_cells, 400),
+                parallel=self.topology_parallel_processes,
+                part=part, q_tab=q_tab, do_reassemble=False,
+                burst_idx=[int(i) for i in B])
+            self.topology_accepted += acc
+            self.topology_proposed += prop
+
+            # join L, merge: device half from L's state, host half from the
+            # burst's part trees (disjoint supports; boundary frozen on both)
+            ints_h, flts_h = jax.device_get(fused_l)
+            ts_h, evo_h2, pop_h2 = split_for_host(
+                (ts_l, evo_l, pop_l), ints_h, flts_h)
+            tree_m = unpack_state(ts_h, names=self.names)
+            reassemble(tree_m, B_parts)
+            # same-site chain redraw on host-owned branches only (the device
+            # may have displaced the other half's branch endpoints)
+            qa_tab = -np.diagonal(q_tab, axis1=1, axis2=2)
+            window = budget * 30.0 / 2.0
+            rounds = max(1, round(window / max(1, cadence)))
+            b_nodes = [int(g) for p in B_parts
+                       for sn, g in enumerate(p.orig_index)
+                       if sn != p.tree.root]
+            dlg_chains = resample_multi_site_chains(
+                tree_m, self.host_rng, mu, nu, part, qa_tab, rounds=rounds,
+                nodes=b_nodes)
+            rereference_to_root_sequence(tree_m)
+
+            # ledger: L's (recompute + window deltas) + burst deltas; the
+            # plain log_coal is re-derived from the merged tree (the per-part
+            # augmented priors do not sum to the plain prior)
+            hg = HostCoalGrid(tree_m, host_pop, min(self.num_cells, 400),
+                              self.t_max_tip)
+            self.ledger = ledger_l._replace(
+                log_G=ledger_l.log_G + dlg + dlg_chains,
+                log_coal=hg.log_prior(tree_m.t))
+            self.ts, self.evo, self.pop, self.key = ts_l, evo_l, pop_l, key_l
+            self.last_stats = stats_l
+            att = int(stats_l["local_moves_attempted"])
+            self._attempted_done += att + budget
+            if boundaries * n_blocks > 0 and att > 0:
+                measured = att / (boundaries * n_blocks) * n_real / max(1, n_dev)
+                self._per_block_rate = max(
+                    1.0, 0.7 * self._per_block_rate + 0.3 * measured)
+
+            # repack the merged tree and restencil for the next cycle
+            n_muts = tree_m.num_mutations() + len(tree_m.mutations[tree_m.root])
+            while n_muts > self.mut_capacity - 8:
+                self.mut_capacity = _round_cap(2 * self.mut_capacity)
+            n_ivs = sum(len(iv) for iv in tree_m.miss_intervals)
+            while n_ivs > self.miss_capacity - 8:
+                self.miss_capacity = _round_cap(2 * self.miss_capacity)
+            n_fs = sum(len(fs) for fs in tree_m.miss_from_states)
+            while n_fs > self.fs_capacity - 8:
+                self.fs_capacity = _round_cap(2 * self.fs_capacity)
+            self.ts = pack_state(tree_m, self.mut_capacity,
+                                 self.miss_capacity, self.fs_capacity)
+            self._fused_bundle = None
+            tin, tout = tree_m.euler_positions()
+            self.tin, self.tout = jnp.asarray(tin), jnp.asarray(tout)
+            self._host_tree = tree_m
+            self._repartition()
+            self._boundaries_since_repart = 0
+            done += chunk
+        self.step += n_steps
+
     def do_mcmc_steps(self, n_steps: int):
         """Advance n_steps local moves, interleaving global boundaries at the
         configured cadence (cf. Run::do_mcmc_steps, run.cpp:622-657).
@@ -362,6 +543,8 @@ class Run:
         7.5/7.5/15 of 32); topology moves (subtree-slide + SPR1, weights
         1+1 of 32) run as host bursts at chunk boundaries — the kernels
         compose in a fixed order, preserving the stationary distribution."""
+        if self._overlap_active():
+            return self._do_mcmc_steps_overlapped(n_steps)
         done = 0
         cadence = self.local_moves_per_global_move
         K = self.topology_burst_chunks

@@ -60,13 +60,36 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
     """Partition -> per-part bursts (optionally in parallel processes) ->
     reassemble.  Returns (delta_log_G, n_accepted, n_proposed)."""
     from ..phylo import rereference_to_root_sequence
-    from .partition import (generate_random_partition_stencil, partition_tree,
-                            reassemble)
-    from .vsc import make_vsc_parts
+    from .partition import generate_random_partition_stencil, partition_tree
 
     rereference_to_root_sequence(tree)
     stencil = generate_random_partition_stencil(tree, num_parts, host_rng)
     parts = partition_tree(tree, stencil)
+    return run_bursts_on_parts(tree, parts, n_moves, host_pop, mu, nu, q, pi,
+                               host_rng, num_cells=num_cells,
+                               parallel=parallel, part=part, q_tab=q_tab)
+
+
+def run_bursts_on_parts(tree, parts, n_moves: int, host_pop,
+                        mu, nu, q, pi, host_rng, num_cells: int = 400,
+                        parallel: bool = True, part=None, q_tab=None,
+                        do_reassemble: bool = True, burst_idx=None):
+    """Per-part bursts on EXPLICIT pre-built parts (the overlapped driver
+    hands the device-stencil's parts here), then reassemble into `tree`.
+    Returns (delta_log_G, n_accepted, n_proposed).
+
+    burst_idx: optional indices of the parts that actually receive moves.
+    The augmented priors are ALWAYS built over the full `parts` list (the
+    auxiliary fields condition on the total lineage staircase; unburst
+    parts' contributions stay frozen, very_scalable_coalescent.cpp:85-232).
+
+    do_reassemble=False leaves the mutated part trees un-merged: the
+    overlapped driver reassembles them into the POST-device-phase tree
+    instead of the snapshot the parts were cut from (disjoint supports make
+    that exact)."""
+    from .partition import reassemble
+    from .vsc import make_vsc_parts
+
     rngs = [np.random.default_rng(host_rng.integers(2 ** 63)) for _ in parts]
 
     t_root = float(tree.t[tree.root])
@@ -74,11 +97,15 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
     t_step = max((t_max - t_root), 1.0) * 1.35 / num_cells
     vscs = make_vsc_parts(parts, host_pop, rngs, t_step)
 
-    sizes = np.array([p.tree.num_nodes for p in parts], dtype=np.float64)
+    if burst_idx is None:
+        burst_idx = range(len(parts))
+    chosen = [(parts[i], vscs[i], rngs[i]) for i in burst_idx]
+    sizes = np.array([p.tree.num_nodes for p, _, _ in chosen],
+                     dtype=np.float64)
     alloc = host_rng.multinomial(n_moves, sizes / sizes.sum())
 
     payloads = []
-    for p, vsc, prng, k in zip(parts, vscs, rngs, alloc):
+    for (p, vsc, prng), k in zip(chosen, alloc):
         if k == 0 or p.tree.num_nodes < 5:
             continue
         payloads.append((p, vsc, int(k), int(prng.integers(2 ** 63))))
@@ -112,7 +139,8 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
                 delta_log_G += dlg
                 n_acc += acc
                 n_prop += prop
-        reassemble(tree, parts)
+        if do_reassemble:
+            reassemble(tree, parts)
         return delta_log_G, n_acc, n_prop
 
     py_payloads = [(p, (p.tree, vsc, k, p.includes_root, mu, nu, q, pi, seed,
@@ -133,5 +161,6 @@ def run_partitioned_bursts(tree, n_moves: int, num_parts: int, host_pop,
         n_acc += acc
         n_prop += prop
 
-    reassemble(tree, parts)
+    if do_reassemble:
+        reassemble(tree, parts)
     return delta_log_G, n_acc, n_prop

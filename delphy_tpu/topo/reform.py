@@ -20,7 +20,8 @@ from ..phylo import FlatTree
 
 def resample_multi_site_chains(tree: FlatTree, rng: np.random.Generator,
                                mu: float, nu: np.ndarray, part: np.ndarray,
-                               qa_tab: np.ndarray, rounds: int = 1) -> float:
+                               qa_tab: np.ndarray, rounds: int = 1,
+                               nodes=None) -> float:
     """MH joint redraw of every same-site chain's crossing times.
 
     For each branch P->X and site l with chain m_1..m_k (k>=2, ordered by
@@ -42,6 +43,11 @@ def resample_multi_site_chains(tree: FlatTree, rng: np.random.Generator,
     rounds — otherwise amortizing bursts would slow these coordinates' mixing
     relative to everything else).
 
+    nodes: optional iterable restricting the scan to these branches (the
+    overlapped driver passes only the host-owned half — the device may be
+    concurrently displacing the other half's branch endpoints, which these
+    proposals' windows read).
+
     Returns total accepted delta log_G; updates tree.mutations in place.
     """
     mu = float(mu)
@@ -49,7 +55,8 @@ def resample_multi_site_chains(tree: FlatTree, rng: np.random.Generator,
     qa_tab = np.asarray(qa_tab, dtype=np.float64)
     part = np.asarray(part)
     total = 0.0
-    for x in range(tree.num_nodes):
+    for x in (range(tree.num_nodes) if nodes is None else nodes):
+        x = int(x)
         if x == tree.root:
             continue
         muts = tree.mutations[x]
