@@ -388,6 +388,16 @@ class Run:
         cadence = self.local_moves_per_global_move
         max_dispatch = int(_os.environ.get("DELPHY_TPU_MAX_DISPATCH_MOVES",
                                            str(32_000_000)))
+        _verbose = _os.environ.get("DELPHY_TPU_BURST_VERBOSE") == "1"
+        import time as _time
+        _tl = [_time.monotonic()]
+
+        def _stage(name):
+            if not _verbose:
+                return
+            now = _time.monotonic()
+            print(f"[overlap] {name}: {now - _tl[0]:.3f}s", flush=True)
+            _tl[0] = now
         done = 0
         while done < n_steps:
             remaining = n_steps - done
@@ -449,9 +459,11 @@ class Run:
                 allow_pallas=self._allow_pallas, mesh=None,
                 param_moves=False, part_sel=jnp.asarray(sel))
 
+            _stage("dispatch G+L enqueued")
             # pull G's params (small; blocks only until G completes) and run
             # the host burst on the B half while the device runs L
             evo_h, pop_h = jax.device_get((evo_g, pop_g))
+            _stage("G params pulled")
             mu, nu, q, pi = (float(evo_h.mu), np.asarray(evo_h.nu),
                              np.asarray(evo_h.q), np.asarray(evo_h.pi))
             part, q_tab = np.asarray(evo_h.part), np.asarray(evo_h.q_tab)
@@ -465,6 +477,7 @@ class Run:
 
             parts = partition_tree(tree, self._last_cuts)
             B_parts = [parts[i] for i in B]
+            _stage("host parts built")
             self._topo_debt += int(self.host_rng.binomial(chunk, 2.0 / 30.0))
             budget = self._topo_debt
             self._topo_debt = 0
@@ -476,14 +489,17 @@ class Run:
                 burst_idx=[int(i) for i in B])
             self.topology_accepted += acc
             self.topology_proposed += prop
+            _stage(f"host burst ({budget} moves)")
 
             # join L, merge: device half from L's state, host half from the
             # burst's part trees (disjoint supports; boundary frozen on both)
             ints_h, flts_h = jax.device_get(fused_l)
             ts_h, evo_h2, pop_h2 = split_for_host(
                 (ts_l, evo_l, pop_l), ints_h, flts_h)
+            _stage("join L + pull fused")
             tree_m = unpack_state(ts_h, names=self.names)
             reassemble(tree_m, B_parts)
+            _stage("unpack + reassemble")
             # same-site chain redraw on host-owned branches only (the device
             # may have displaced the other half's branch endpoints)
             qa_tab = -np.diagonal(q_tab, axis1=1, axis2=2)
@@ -496,6 +512,7 @@ class Run:
                 tree_m, self.host_rng, mu, nu, part, qa_tab, rounds=rounds,
                 nodes=b_nodes)
             rereference_to_root_sequence(tree_m)
+            _stage("chains + rereference")
 
             # ledger: L's (recompute + window deltas) + burst deltas; the
             # plain log_coal is re-derived from the merged tree (the per-part
@@ -532,6 +549,7 @@ class Run:
             self._host_tree = tree_m
             self._repartition()
             self._boundaries_since_repart = 0
+            _stage("pack + repartition")
             done += chunk
         self.step += n_steps
 
@@ -627,12 +645,19 @@ class Run:
             if self.topology_moves_enabled:
                 self._topo_debt += int(self.host_rng.binomial(chunk, 2.0 / 30.0))
                 threshold = max(32, K * int(cadence * 2.0 / 30.0))
-                if self._topo_debt >= threshold or done + chunk >= n_steps:
-                    if self._topo_debt > 0:
-                        self._topology_burst(self._topo_debt)
-                        self._attempted_done += self._topo_debt
-                        self._topo_debt = 0
-                        repartitioned = True
+                # debt persists across do_mcmc_steps calls (the burst cadence
+                # is a property of the kernel mixture, not of the caller's
+                # step granularity) — but a call-end flush fires once debt
+                # reaches one boundary's worth, so topology still moves in
+                # any meaningful window (and micro-calls don't thrash bursts)
+                flush = (done + chunk >= n_steps
+                         and self._topo_debt
+                         >= max(32, int(cadence * 2.0 / 30.0)))
+                if self._topo_debt >= threshold or flush:
+                    self._topology_burst(self._topo_debt)
+                    self._attempted_done += self._topo_debt
+                    self._topo_debt = 0
+                    repartitioned = True
             if (not repartitioned and P > 1
                     and self._boundaries_since_repart >= self.restencil_interval):
                 # periodic restencil so frozen cut-point times get resampled

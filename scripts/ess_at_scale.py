@@ -11,6 +11,11 @@ Env knobs:
   ESS_WINDOW   seconds of sampling (default 1800)
   ESS_CHUNKS   override topology_burst_chunks (0 = engine default) — the
                cadence-comparison lever (amortized vs interleaved bursts)
+  ESS_SAMPLE_MOVES  moves between posterior samples (0 = one dispatch cycle,
+               lmpgm * chunks).  Topology debt persists across calls
+               (run.py), so the SAMPLING cadence no longer moves the BURST
+               cadence — set this equal across ESS_CHUNKS settings for an
+               apples-to-apples cadence comparison.
 Usage (TPU): DELPHY_TPU_F32=1 python scripts/ess_at_scale.py
 """
 
@@ -48,7 +53,8 @@ def main():
     run = Run(tree, seed=1, num_cells=400)
     if chunks > 0:
         run.topology_burst_chunks = chunks
-    n = run.local_moves_per_global_move * run.topology_burst_chunks
+    n = int(os.environ.get("ESS_SAMPLE_MOVES", "0")) or \
+        run.local_moves_per_global_move * run.topology_burst_chunks
     run.do_mcmc_steps(n)  # warm/compile
     print(f"[ess +{time.time()-t0:.0f}s] warm "
           f"(chunks={run.topology_burst_chunks}, P={run.device_partitions})",

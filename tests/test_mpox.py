@@ -111,6 +111,7 @@ def test_mpox_run_end_to_end():
     tree = build_random_tree(ref, deltas, miss, dates, names=names, rng=rng)
     run = Run(tree, seed=4, num_cells=128, local_moves_per_global_move=400,
               mpox_hack=True)
+    run.topology_burst_chunks = 1  # tight burst cadence for this short window
     assert run.evo.num_partitions == 2
     rhos, mus = [], []
     for _ in range(6):

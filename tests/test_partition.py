@@ -192,6 +192,7 @@ def test_run_with_partitioned_bursts():
                              rng=np.random.default_rng(15))
     run = Run(tree, seed=15, num_cells=128, local_moves_per_global_move=1200,
               topology_partitions=3, topology_parallel_processes=False)
+    run.topology_burst_chunks = 1  # tight burst cadence for this short window
     before = run.tree()
     seqs = [before.sequence_at(i) for i in range(before.num_tips)]
     missing = [before.missing_sites_at(i) for i in range(before.num_tips)]
