@@ -680,12 +680,13 @@ class Run:
         # more parts than workers improves load balance across the pool,
         # and at scale small parts bound the SPR study floods: on sparse
         # parsimony trees (0.09 muts/branch at 100k) the flood roams the
-        # whole mutation-free neighborhood, so the per-move marginal cost
-        # measured 28.1 us at 8 parts vs 8.1 us at 256 (100k tips,
-        # doc/BENCH_LOG_r03.md).  Target ~400 nodes/part, capped at 512
-        # parts; small trees keep the load-balance default.
+        # whole mutation-free neighborhood.  Measured at 100k tips
+        # (scripts/topo_parts_prof.py, round 4): 250 parts (mean 801
+        # nodes) 84k moves/s, 512 parts 128k, 1024 parts (mean 197 nodes)
+        # 139k — target ~200 nodes/part (T//100), capped at 1024 parts;
+        # small trees keep the load-balance default.
         return max(1, min(2 * (os.cpu_count() or 1), T // 10),
-                   min(512, T // 400))
+                   min(1024, T // 100))
 
     def _topology_burst(self, n_moves: int):
         from .topo import TopologyMixer

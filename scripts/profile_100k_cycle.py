@@ -60,8 +60,12 @@ def main():
         f"{att/dt:,.0f} moves/s (pallas={run._allow_pallas})")
     log(f"topology: {run.topology_accepted}/{run.topology_proposed} accepted")
     log(run.stats_line())
-    run.check_derived_quantities(0.05)
-    log("ledger OK (tol 0.05); DONE")
+    # f32 log_G drift grows with the window (round-3 measured ~1e-2 per
+    # 500k moves at |log_G|~4e4; here |log_G|~3.4e5 over ~1B moves) — hold
+    # the RELATIVE drift to 5e-7, floored at the round-3 absolute tol
+    tol = max(0.05, 5e-7 * abs(float(run.ledger.log_G)))
+    run.check_derived_quantities(tol)
+    log(f"ledger OK (tol {tol:.3f}); DONE")
     os._exit(0)
 
 
