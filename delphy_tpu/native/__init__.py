@@ -103,12 +103,44 @@ def _load():
         lib.delphy_gamma_q.argtypes = [ctypes.c_double, ctypes.c_double]
         lib.delphy_gamma_q_inv.restype = ctypes.c_double
         lib.delphy_gamma_q_inv.argtypes = [ctypes.c_double, ctypes.c_double]
+        # best-of-K partition stencil (twin of topo/partition.py:42-77)
+        lib.delphy_best_stencil.restype = ctypes.c_int32
+        lib.delphy_best_stencil.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+            i32p, i64p, i32p,
+        ]
         _LIB = lib
         return _LIB
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def best_stencil_native(tree, num_parts: int, rng: np.random.Generator,
+                        tries: int = 1):
+    """Best-of-`tries` randomized greedy partition stencil from the native
+    kernel (twin of topo/partition.py's generator; selection as in
+    parallel/partmaps.py).  Returns (cut_points, sizes) where sizes lists
+    cut parts in cut order then the residual root part, or None when the
+    native kernel is unavailable.  Consumes one draw from `rng` (the seed),
+    so same rng state => same stencil."""
+    lib = _load()
+    if lib is None or num_parts <= 1:
+        return None
+    children = np.ascontiguousarray(tree.children, dtype=np.int32)
+    out_cuts = np.empty(num_parts, np.int32)
+    out_sizes = np.empty(num_parts, np.int64)
+    n_cuts = np.zeros(1, np.int32)
+    r = lib.delphy_best_stencil(
+        np.int32(tree.num_nodes), np.int32(tree.root), children,
+        np.int32(num_parts), np.int32(max(1, tries)),
+        np.uint64(rng.integers(2 ** 63)), out_cuts, out_sizes, n_cuts)
+    if r != 0:
+        return None
+    k = int(n_cuts[0])
+    return [int(x) for x in out_cuts[:k]], [int(s) for s in out_sizes[:k + 1]]
 
 
 def native_gamma_q(a: float, x: float) -> float:

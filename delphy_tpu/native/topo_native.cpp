@@ -2537,6 +2537,89 @@ extern "C" double delphy_gamma_q_inv(double a, double q) {
   return gamma_Qinv(a, q);
 }
 
+// Randomized greedy equal-size partition stencil — the native twin of
+// topo/partition.py:42-77 (reference tree_partitioning.h:139-194), with the
+// best-of-K selection loop (partmaps.py's stencil cache, reference
+// run.cpp:87-108 keeps 10) hoisted inside so K tries cost one call.
+// children: N x 2 int32, -1 = absent (tips).  Writes the winning cut list to
+// out_cuts (capacity num_parts), its per-part sizes (cut parts in cut order,
+// then the residual root part) to out_sizes (capacity num_parts), and the
+// cut count to out_num_cuts.  Returns 0 on success, -1 on bad arguments.
+extern "C" int32_t delphy_best_stencil(
+    int32_t N, int32_t root, const int32_t* children,
+    int32_t num_parts, int32_t tries, uint64_t seed,
+    int32_t* out_cuts, int64_t* out_sizes, int32_t* out_num_cuts) {
+  if (N <= 0 || root < 0 || root >= N || num_parts <= 1 || tries <= 0)
+    return -1;
+  Rng rng(seed);
+  std::vector<int32_t> order(N);
+  std::vector<int64_t> desc(N);
+  std::vector<int32_t> stack;
+  std::vector<uint8_t> visited(N);
+  std::vector<int32_t> cand, best_cuts;
+  std::vector<int64_t> sizes, best_sizes;
+  int64_t best_mx = -1;
+  for (int32_t t_i = 0; t_i < tries; ++t_i) {
+    // randomized post-order (children visited in coin-flipped order)
+    std::fill(visited.begin(), visited.end(), 0);
+    stack.clear();
+    stack.push_back(root);
+    int32_t k = 0;
+    while (!stack.empty()) {
+      int32_t n = stack.back();
+      stack.pop_back();
+      int32_t c0 = children[2 * (size_t)n], c1 = children[2 * (size_t)n + 1];
+      bool tip = (c0 < 0 && c1 < 0);
+      if (tip || visited[n]) {
+        order[k++] = n;
+        continue;
+      }
+      visited[n] = 1;
+      stack.push_back(n);
+      if (rng.uniform() < 0.5) std::swap(c0, c1);
+      if (c0 >= 0) stack.push_back(c0);
+      if (c1 >= 0) stack.push_back(c1);
+    }
+    // greedy cuts over the post-order
+    std::fill(desc.begin(), desc.end(), 0);
+    cand.clear();
+    sizes.clear();
+    int64_t branches_left = N;
+    int32_t parts_left = num_parts;
+    for (int32_t idx = 0; idx < k; ++idx) {
+      int32_t n = order[idx];
+      if (n == root || (int32_t)cand.size() == num_parts - 1) break;
+      desc[n] = 1;
+      int32_t c0 = children[2 * (size_t)n], c1 = children[2 * (size_t)n + 1];
+      if (c0 >= 0) desc[n] += desc[c0];
+      if (c1 >= 0) desc[n] += desc[c1];
+      int64_t min_size =
+          std::max<int64_t>(10, branches_left / (int64_t)(parts_left + 1));
+      if (desc[n] >= min_size) {
+        if (branches_left - (desc[n] - 1) < min_size) continue;
+        if (rng.uniform() < 0.5) continue;
+        cand.push_back(n);
+        sizes.push_back(desc[n]);
+        branches_left -= desc[n] - 1;
+        desc[n] = 1;
+        parts_left -= 1;
+      }
+    }
+    sizes.push_back(branches_left);  // residual root part
+    int64_t mx = 0;
+    for (int64_t s : sizes) mx = std::max(mx, s);
+    if (best_mx < 0 || mx < best_mx) {
+      best_mx = mx;
+      best_cuts = cand;
+      best_sizes = sizes;
+    }
+  }
+  for (size_t i = 0; i < best_cuts.size(); ++i) out_cuts[i] = best_cuts[i];
+  for (size_t i = 0; i < best_sizes.size(); ++i) out_sizes[i] = best_sizes[i];
+  *out_num_cuts = (int32_t)best_cuts.size();
+  return 0;
+}
+
 extern "C" int32_t delphy_run_topo_burst(
     // tree in
     int32_t N, int32_t num_tips, int32_t L, int32_t root,

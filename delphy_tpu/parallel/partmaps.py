@@ -181,13 +181,9 @@ def build_part_maps(tree: FlatTree, mut_node: np.ndarray,
     # reference similarly keeps a cache of 10 stencils (run.cpp:87-108).
     cut_points: list = []
     if num_parts > 1:
-        best_mx = None
-        for _ in range(6):
-            cand, sizes = generate_random_partition_stencil(
-                tree, num_parts, rng, return_sizes=True)
-            mx = max(sizes)
-            if best_mx is None or mx < best_mx:
-                best_mx, cut_points = mx, cand
+        cut_points, sizes = generate_random_partition_stencil(
+            tree, num_parts, rng, return_sizes=True, tries=6)
+        best_mx = max(sizes)
         # hard-cap the worst part: best-of-6 still overshoots the mean 3-8x
         # at 100k tips, and n_cap (the Pallas VMEM mask edge) is set by the
         # worst part.

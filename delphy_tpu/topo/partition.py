@@ -41,12 +41,35 @@ def randomized_post_order(tree: FlatTree, rng: np.random.Generator):
 
 def generate_random_partition_stencil(tree: FlatTree, num_parts: int,
                                       rng: np.random.Generator,
-                                      return_sizes: bool = False):
+                                      return_sizes: bool = False,
+                                      tries: int = 1):
     """Randomized greedy equal-size cuts (tree_partitioning.h:139-194).
 
     With return_sizes, also returns the per-part node counts (cut parts in
-    cut order, then the residual root part) at no extra cost — used to pick
-    the most balanced of several candidate stencils."""
+    cut order, then the residual root part) at no extra cost.  With
+    tries > 1, generates that many independent stencils and keeps the one
+    with the smallest WORST part (the reference keeps a cache of 10
+    stencils, run.cpp:87-108; n_cap — and the Pallas kernel's O(n_cap^2)
+    VMEM masks — are set by the worst part).  Dispatches to the native
+    kernel when available (~40x the Python loop at 100k tips, which made
+    best-of-6 a 5 s/burst fixed cost); the Python loop below is the
+    fallback and the validation twin."""
+    if num_parts > 1:
+        from ..native import best_stencil_native
+        res = best_stencil_native(tree, num_parts, rng, tries=tries)
+        if res is not None:
+            cuts, sizes = res
+            return (cuts, sizes) if return_sizes else cuts
+    best_cuts, best_sizes = None, None
+    for _ in range(max(1, int(tries))):
+        cuts, sizes = _py_partition_stencil(tree, num_parts, rng)
+        if best_sizes is None or max(sizes) < max(best_sizes):
+            best_cuts, best_sizes = cuts, sizes
+    return (best_cuts, best_sizes) if return_sizes else best_cuts
+
+
+def _py_partition_stencil(tree: FlatTree, num_parts: int,
+                          rng: np.random.Generator):
     N = tree.num_nodes
     descendants = np.zeros(N, dtype=np.int64)
     cut_points = []
@@ -72,9 +95,7 @@ def generate_random_partition_stencil(tree: FlatTree, num_parts: int,
             num_branches_left -= descendants[n] - 1
             descendants[n] = 1
             num_parts_left -= 1
-    if return_sizes:
-        return cut_points, sizes + [num_branches_left]
-    return cut_points
+    return cut_points, sizes + [num_branches_left]
 
 
 def split_oversized_cuts(tree: FlatTree, cut_points: list, cap: int) -> list:

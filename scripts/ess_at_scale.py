@@ -16,6 +16,13 @@ Env knobs:
                (run.py), so the SAMPLING cadence no longer moves the BURST
                cadence — set this equal across ESS_CHUNKS settings for an
                apples-to-apples cadence comparison.
+  ESS_BURN_MOVES  local moves to burn before the sampling window (at large
+               T the parsimony start drifts for ~1B+ moves; sampling a
+               trending trace measures the trend, not mixing)
+  ESS_STATE_NPZ  resume the run from a snapshot (io/snapshot.py) instead of
+               building from the tree — lets cadence A/B windows start from
+               the SAME burned state
+  ESS_SAVE_NPZ  save a snapshot after burn (before the window), for reuse
 Usage (TPU): DELPHY_TPU_F32=1 python scripts/ess_at_scale.py
 """
 
@@ -44,22 +51,30 @@ def main():
     chunks = int(os.environ.get("ESS_CHUNKS", "0"))
 
     t0 = time.time()
+    state_npz = os.environ.get("ESS_STATE_NPZ", "")
     pkl = os.environ.get("ESS_TREE_PKL", "")
-    if pkl:  # reuse a cached init tree (scripts/make_tree100k.py)
-        import pickle
-        tree = pickle.load(open(pkl, "rb"))
-        T, L = tree.num_tips, tree.num_sites
-        print(f"[ess +{time.time()-t0:.0f}s] tree loaded ({T}x{L})",
+    if state_npz:  # resume a burned state (cadence A/B from the same point)
+        from delphy_tpu.io.snapshot import load_run
+        run = load_run(state_npz)
+        T, L = run.ts.num_tips, run.ts.num_sites
+        print(f"[ess +{time.time()-t0:.0f}s] state loaded ({T}x{L})",
               flush=True)
     else:
-        ref, deltas, miss, dates, names, _ = simulate_dataset(
-            T, L, mu=1.0e-3 / 365, sample_window_days=700.0,
-            missing_fraction=0.02, seed=42)
-        tree = build_initial_tree(ref, deltas, miss, dates, names=names,
-                                  rng=np.random.default_rng(42))
-        print(f"[ess +{time.time()-t0:.0f}s] tree built ({T}x{L})",
-              flush=True)
-    run = Run(tree, seed=1, num_cells=400)
+        if pkl:  # reuse a cached init tree (scripts/make_tree100k.py)
+            import pickle
+            tree = pickle.load(open(pkl, "rb"))
+            T, L = tree.num_tips, tree.num_sites
+            print(f"[ess +{time.time()-t0:.0f}s] tree loaded ({T}x{L})",
+                  flush=True)
+        else:
+            ref, deltas, miss, dates, names, _ = simulate_dataset(
+                T, L, mu=1.0e-3 / 365, sample_window_days=700.0,
+                missing_fraction=0.02, seed=42)
+            tree = build_initial_tree(ref, deltas, miss, dates, names=names,
+                                      rng=np.random.default_rng(42))
+            print(f"[ess +{time.time()-t0:.0f}s] tree built ({T}x{L})",
+                  flush=True)
+        run = Run(tree, seed=1, num_cells=400)
     if chunks > 0:
         run.topology_burst_chunks = chunks
     n = int(os.environ.get("ESS_SAMPLE_MOVES", "0")) or \
@@ -68,6 +83,17 @@ def main():
     print(f"[ess +{time.time()-t0:.0f}s] warm "
           f"(chunks={run.topology_burst_chunks}, P={run.device_partitions})",
           flush=True)
+    burn = int(os.environ.get("ESS_BURN_MOVES", "0"))
+    if burn > 0:
+        run.do_mcmc_steps(burn)
+        print(f"[ess +{time.time()-t0:.0f}s] burn {burn} done "
+              f"(log_post {run.log_posterior:.1f})", flush=True)
+    save_npz = os.environ.get("ESS_SAVE_NPZ", "")
+    if save_npz:
+        from delphy_tpu.io.snapshot import save_run
+        save_run(run, save_npz)
+        print(f"[ess +{time.time()-t0:.0f}s] snapshot -> {save_npz}",
+              flush=True)
 
     lp, mus, troots = [], [], []
     t_start = time.time()

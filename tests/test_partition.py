@@ -271,3 +271,48 @@ def test_run_part_cap_engages_and_ledger_green(monkeypatch):
     run.do_mcmc_steps(3 * run.local_moves_per_global_move)
     run.check_derived_quantities(tol=1e-6)
     run.tree().check_integrity()
+
+
+def test_native_stencil_matches_python_properties():
+    """The native best-of-K stencil generator (delphy_best_stencil,
+    topo_native.cpp) is the twin of the Python greedy
+    (_py_partition_stencil): same validity properties — cut points are
+    non-root inner-or-tip nodes whose parts partition the tree, the
+    reported sizes equal partition_tree's actual part sizes, and best-of-K
+    never reports a larger worst part than a single try from the same
+    seed."""
+    from delphy_tpu.native import best_stencil_native, native_available
+    from delphy_tpu.topo.partition import _py_partition_stencil
+
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("no native toolchain")
+    tree = make_tree(seed=11, T=120, L=300)
+    rng = np.random.default_rng(3)
+    cuts, sizes = best_stencil_native(tree, 6, rng, tries=1)
+    assert len(sizes) == len(cuts) + 1
+    assert int(tree.root) not in cuts
+    assert len(set(cuts)) == len(cuts)
+    parts = partition_tree(tree, list(cuts))
+    # each cut node is counted twice across sizes — in its own part AND as
+    # a frozen-tip branch retained in the parent part (the Python greedy's
+    # `num_branches_left -= descendants - 1`) — matching partition_tree's
+    # node collection
+    assert sum(sizes) == tree.num_nodes + len(cuts)
+    assert sum(p.tree.num_nodes for p in parts) == tree.num_nodes + len(cuts)
+    # best-of-K reduces (never raises) the worst part vs single tries
+    rng_a = np.random.default_rng(17)
+    mx_single = []
+    for _ in range(8):
+        c1, s1 = best_stencil_native(tree, 6, rng_a, tries=1)
+        mx_single.append(max(s1))
+    rng_b = np.random.default_rng(23)
+    _, s_best = best_stencil_native(tree, 6, rng_b, tries=8)
+    assert max(s_best) <= int(np.median(mx_single))
+    # determinism: same rng state => same stencil
+    c_a, s_a = best_stencil_native(tree, 6, np.random.default_rng(5), tries=3)
+    c_b, s_b = best_stencil_native(tree, 6, np.random.default_rng(5), tries=3)
+    assert c_a == c_b and s_a == s_b
+    # the Python twin still produces valid stencils of the same shape
+    pc, ps = _py_partition_stencil(tree, 6, np.random.default_rng(5))
+    assert len(ps) == len(pc) + 1 and sum(ps) == tree.num_nodes + len(pc)
