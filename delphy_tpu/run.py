@@ -85,9 +85,16 @@ class Run:
         # by accumulating the topology-move budget over several boundaries.
         # The fixed cost per dispatch+burst cycle is ~0.1 s on the tunneled
         # v5e, so small trees want big chunks (~1M local moves per cycle:
-        # Ebola 0.85 -> 1.15 M moves/s measured, scripts/profile_cycle.py);
-        # large trees are compute-dominated and keep the 32 floor so the
-        # topology interleave stays close to the reference's 2/32 cadence
+        # Ebola 0.85 -> 1.15 M moves/s measured, scripts/profile_cycle.py).
+        # The cadence at scale was retuned from MEASURED mixing (round 4,
+        # doc/BENCH_LOG_r04.md): at 10k tips, interleaved bursts (chunks=2)
+        # give ~6x the per-move mixing — 3x the ESS/hour at half the
+        # moves/s — so the old 32-boundary floor was exactly backwards
+        # there; at 100k tips the same A/B (from a shared 3B-move burned
+        # snapshot) shows only ~1.6x per-move mixing for a 4x throughput
+        # cost, so amortized bursts win per hour and the 32 floor stays.
+        # The crossover tracks the per-cycle fixed cost relative to a
+        # boundary's compute (~40k tips on this host/tunnel).
         self.topology_burst_chunks = 32  # reset below once cadence is known
         # restencil cadence is DECOUPLED from topology_burst_chunks: raising
         # the burst chunk count for small trees must not also stretch how
@@ -109,8 +116,11 @@ class Run:
         N = self.ts.num_nodes
         self.local_moves_per_global_move = (
             50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
-        self.topology_burst_chunks = max(
-            32, min(256, 2_000_000 // max(1, self.local_moves_per_global_move)))
+        lm = max(1, self.local_moves_per_global_move)
+        if lm <= 2_000_000:  # T <~ 40k tips: interleave (see comment above)
+            self.topology_burst_chunks = max(2, min(256, 2_000_000 // lm))
+        else:  # very large trees: amortize (measured at 100k tips)
+            self.topology_burst_chunks = 32
 
         self.mpox_hack = mpox_hack
         if mpox_hack:

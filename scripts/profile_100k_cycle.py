@@ -34,6 +34,8 @@ def main():
     log(f"tree loaded: {tree.num_tips} tips, {tree.num_mutations()} muts")
 
     run = Run(tree, seed=7, num_cells=400)
+    if os.environ.get("CYCLE_CHUNKS", ""):
+        run.topology_burst_chunks = int(os.environ["CYCLE_CHUNKS"])
     log(f"Run: P_padded={run.pm.node_map.shape[0]} n_cap={run._n_cap_sticky} "
         f"m_cap={run._m_cap_sticky} lmpgm={run.local_moves_per_global_move} "
         f"chunks={run.topology_burst_chunks}")
