@@ -125,7 +125,12 @@ def best_stencil_native(tree, num_parts: int, rng: np.random.Generator,
     parallel/partmaps.py).  Returns (cut_points, sizes) where sizes lists
     cut parts in cut order then the residual root part, or None when the
     native kernel is unavailable.  Consumes one draw from `rng` (the seed),
-    so same rng state => same stencil."""
+    so same rng state => same stencil.  Note: the native and Python
+    generators produce different (equally valid) stencil streams from the
+    same rng state, and a kernel-level failure (r != 0, never observed)
+    would hand the Python fallback a post-draw rng — environments with and
+    without the native kernel are not stencil-for-stencil reproducible,
+    by design (determinism holds within an environment)."""
     lib = _load()
     if lib is None or num_parts <= 1:
         return None

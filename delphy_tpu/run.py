@@ -93,8 +93,9 @@ class Run:
         # there; at 100k tips the same A/B (from a shared 3B-move burned
         # snapshot) shows only ~1.6x per-move mixing for a 4x throughput
         # cost, so amortized bursts win per hour and the 32 floor stays.
-        # The crossover tracks the per-cycle fixed cost relative to a
-        # boundary's compute (~40k tips on this host/tunnel).
+        # The lm gate below switches at ~20k tips (lm = 50*num_nodes ≈
+        # 100*tips); the true ESS/h crossover lies somewhere in 10k-100k
+        # and is being located with a mid-scale A/B (round 5).
         self.topology_burst_chunks = 32  # reset below once cadence is known
         # restencil cadence is DECOUPLED from topology_burst_chunks: raising
         # the burst chunk count for small trees must not also stretch how

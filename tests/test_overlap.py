@@ -82,6 +82,68 @@ def test_overlap_mixes_like_blocking(overlap_env):
     assert abs(mo - mb) < 6.0 * s, (mo, mb, s)
 
 
+def _full_state(run):
+    """Materialize every piece of Run state that the overlapped cycle
+    touches, as host values (for exact-equality comparison)."""
+    import jax
+    ts = jax.tree.map(np.asarray, jax.device_get(run.ts))
+    led = (float(run.ledger.log_G), float(run.ledger.log_coal),
+           float(run.ledger.log_other))
+    key = np.asarray(jax.device_get(run.key))
+    rng_state = run.host_rng.bit_generator.state
+    evo = jax.tree.map(np.asarray, jax.device_get(run.evo))
+    return ts, led, key, rng_state, evo
+
+
+def test_overlap_equals_sequential_execution(overlap_env, monkeypatch):
+    """Exact fork-join correctness (VERDICT r4 next-#8): an overlapped cycle
+    (host burst running while the device dispatch is in flight) must produce
+    BIT-IDENTICAL merged state to a sequential execution of the same frozen
+    halves — same uniforms, same stencil, device half fully materialized
+    before the host burst starts.  This is the overlap analogue of
+    test_mesh_run_matches_single_device_run: if the burst read anything the
+    in-flight dispatch was still writing, or the merge depended on timing,
+    the states would diverge."""
+    import jax
+    from delphy_tpu.parallel import sweep as sweep_mod
+
+    n_cycle = 2 * 200 * 2  # 2 boundaries x cadence, 2 cycles
+
+    run_a = make_run(seed=13)
+    run_a.topology_burst_chunks = 2
+    assert run_a._overlap_active()
+    run_a.do_mcmc_steps(n_cycle)  # warm: both runs pass the same prefix
+
+    run_b = make_run(seed=13)
+    run_b.topology_burst_chunks = 2
+    run_b.do_mcmc_steps(n_cycle)
+
+    # sanity: the two runs are identical before the cycle under test
+    for x, y in zip(_full_state(run_a), _full_state(run_b)):
+        np.testing.assert_equal(x, y)
+
+    # run_a: normal overlapped cycle (dispatch in flight during the burst)
+    run_a.do_mcmc_steps(n_cycle)
+
+    # run_b: SEQUENTIAL execution — every sweep dispatch is forced to
+    # complete before the host proceeds (so the burst runs strictly after
+    # the device half has been fully computed and materialized)
+    orig = sweep_mod.parts_multi_super_step
+
+    def blocking_super_step(*args, **kw):
+        out = orig(*args, **kw)
+        return jax.block_until_ready(out)
+
+    monkeypatch.setattr(sweep_mod, "parts_multi_super_step",
+                        blocking_super_step)
+    run_b.do_mcmc_steps(n_cycle)
+    monkeypatch.setattr(sweep_mod, "parts_multi_super_step", orig)
+
+    sa, sb = _full_state(run_a), _full_state(run_b)
+    for name, x, y in zip(("ts", "ledger", "key", "rng", "evo"), sa, sb):
+        np.testing.assert_equal(x, y, err_msg=f"overlap vs sequential: {name}")
+
+
 def test_overlap_skygrid_cycle(overlap_env):
     """The overlapped cycle under the skygrid pop model (host pop rebuild +
     HostCoalGrid refresh paths differ from exp)."""
