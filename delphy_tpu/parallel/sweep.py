@@ -595,8 +595,15 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
     psum reassembly — the production multi-chip driver (the reference's
     thread fan-out + reassemble, run.cpp:622-693, over ICI instead of a
     thread pool).  Trajectories are bit-identical across the two modes."""
-    assert not (mesh is not None and part_sel is not None), \
-        "overlap part selection is single-device for now (gather breaks the part sharding)"
+    if mesh is not None and part_sel is not None:
+        # overlapped mesh sweeps: the fan-out gather happens on GLOBAL
+        # arrays before shard_map (GSPMD inserts the reshard), so the only
+        # structural requirement is that the selection width divides over
+        # the mesh.  Multi-PROCESS meshes stay excluded in the driver
+        # (run.py _overlap_active): the merge path packs host state without
+        # the replicate_to_mesh step and bursts are process-0-gated.
+        assert part_sel.shape[0] % mesh.size == 0, \
+            f"part_sel width {part_sel.shape[0]} must divide mesh {mesh.size}"
     def body(carry, _):
         ts, evo, pop_params, key = carry
         ts, evo, pop_params, key, ledger, stats = _boundary_body(

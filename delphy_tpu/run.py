@@ -40,6 +40,25 @@ def _round16(n: int) -> int:
     return (max(n, 16) + 15) // 16 * 16
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("num_cells", "hyp"))
+def _calc_ledger_jit(ts, evo, pop_params, t_max_tip, num_cells, hyp):
+    """One-program from-scratch ledger recompute (see Run.calc_cur_ledger)."""
+    caches = gm.compute_caches(ts, evo)
+    log_G = lk.calc_log_G(ts, evo, caches.lambda_i, caches.root_freq)
+    t_root = ts.t[ts.root]
+    span = jnp.maximum(t_max_tip - t_root, 1.0)
+    t_lo = t_root - 0.35 * span - 1.0
+    t_step = (t_max_tip - t_lo) / num_cells
+    grid = coal.make_grid(pop_params, ts.t, ts.is_tip, t_lo, t_step,
+                          num_cells)
+    log_coal = coal.calc_log_prior(grid, pop_params, ts.t, ts.is_tip)
+    log_other = gm.calc_log_other_priors(evo, pop_params, hyp)
+    return Ledger(log_G=log_G, log_coal=log_coal, log_other=log_other)
+
+
 class Run:
     def __init__(self, tree: FlatTree, seed: int = 0, hyp: PriorConfig = PriorConfig(),
                  num_cells: int = 512, local_moves_per_global_move: int = -1,
@@ -381,7 +400,13 @@ class Run:
             # (doc/BENCH_LOG_r04.md); enable with DELPHY_TPU_OVERLAP=1
             return False
         n_real = len(self._last_cuts) + 1
-        return (self.topology_moves_enabled and self.mesh is None
+        # single-process meshes overlap (the A/B gather happens on global
+        # arrays before shard_map, sweep.py); multi-process meshes keep the
+        # blocking driver: the overlap merge repacks host state without the
+        # replicate_to_mesh step, and the host burst would need process-0
+        # gating + a result broadcast — machinery the blocking path already
+        # has and the overlap path does not (see NOTES.md).
+        return (self.topology_moves_enabled
                 and not self._multiprocess and n_real >= 4)
 
     def _do_mcmc_steps_overlapped(self, n_steps: int):
@@ -435,6 +460,9 @@ class Run:
             P_sticky = self.pm.node_map.shape[0]
             n_real = len(self._last_cuts) + 1
             W = max(1, P_sticky // 2)
+            if self.mesh is not None:  # selection width shards over the mesh
+                D = int(self.mesh.size)
+                W = max(D, W // D * D)
             perm = self.host_rng.permutation(n_real)
             n_dev = min(W, max(1, n_real - 1))
             A = np.sort(perm[:n_dev])
@@ -451,7 +479,8 @@ class Run:
                 self.ts, self.evo, self.pop, self.key, self.tin, self.tout,
                 self.pm, 0, self.t_max_tip, self.hyp, self.num_cells, 1,
                 self._sweep_k_max, self._sweep_reform_batch,
-                allow_pallas=self._allow_pallas, mesh=None, param_moves=True)
+                allow_pallas=self._allow_pallas, mesh=self.mesh,
+                param_moves=True)
             # L: locals-only boundaries on the device half (enqueued before
             # the burst starts; the tunnel runs it while the host works)
             from .parallel.sweep import PALLAS_NB_MAX, pallas_enabled
@@ -467,7 +496,7 @@ class Run:
                 ts_g, evo_g, pop_g, key_g, self.tin, self.tout, self.pm,
                 n_blocks, self.t_max_tip, self.hyp, self.num_cells,
                 boundaries, self._sweep_k_max, self._sweep_reform_batch,
-                allow_pallas=self._allow_pallas, mesh=None,
+                allow_pallas=self._allow_pallas, mesh=self.mesh,
                 param_moves=False, part_sel=jnp.asarray(sel))
 
             _stage("dispatch G+L enqueued")
@@ -848,18 +877,13 @@ class Run:
     def calc_cur_ledger(self) -> Ledger:
         """Full from-scratch recompute of the ledger under current params —
         the incremental-vs-recompute invariant used throughout the reference
-        (run.cpp:316-338, subrun.cpp:28-56)."""
-        caches = gm.compute_caches(self.ts, self.evo)
-        log_G = lk.calc_log_G(self.ts, self.evo, caches.lambda_i, caches.root_freq)
-        t_root = float(self.ts.t[self.ts.root])
-        span = max(self.t_max_tip - t_root, 1.0)
-        t_lo = t_root - 0.35 * span - 1.0
-        t_step = (self.t_max_tip - t_lo) / self.num_cells
-        grid = coal.make_grid(self.pop, self.ts.t, self.ts.is_tip, t_lo, t_step,
-                              self.num_cells)
-        log_coal = coal.calc_log_prior(grid, self.pop, self.ts.t, self.ts.is_tip)
-        log_other = gm.calc_log_other_priors(self.evo, self.pop, self.hyp)
-        return Ledger(log_G=log_G, log_coal=log_coal, log_other=log_other)
+        (run.cpp:316-338, subrun.cpp:28-56).  Jitted as ONE program: the
+        op-by-op eager version compiled ~220 tiny XLA programs on first use
+        (~0.5 s each over the TPU tunnel — measured as ~110 s of bench.py's
+        cold tail, round 5), and paranoid mode calls this every boundary."""
+        return _calc_ledger_jit(self.ts, self.evo, self.pop,
+                                jnp.float64(self.t_max_tip),
+                                self.num_cells, self.hyp)
 
     def check_derived_quantities(self, tol: float = 1e-6):
         """Debug invariant: incrementally-maintained log_G must match a full

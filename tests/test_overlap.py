@@ -20,8 +20,9 @@ def make_run(seed=21, T=48, L=400, **kw):
         T, L, mu=2e-3, missing_fraction=0.02, seed=seed)
     tree = build_random_tree(ref, deltas, miss, dates, names=names,
                              rng=np.random.default_rng(seed))
+    kw.setdefault("device_partitions", 8)
     return Run(tree, seed=seed + 2, num_cells=64,
-               local_moves_per_global_move=200, device_partitions=8,
+               local_moves_per_global_move=200,
                topology_moves_enabled=True, **kw)
 
 
@@ -142,6 +143,36 @@ def test_overlap_equals_sequential_execution(overlap_env, monkeypatch):
     sa, sb = _full_state(run_a), _full_state(run_b)
     for name, x, y in zip(("ts", "ledger", "key", "rng", "evo"), sa, sb):
         np.testing.assert_equal(x, y, err_msg=f"overlap vs sequential: {name}")
+
+
+def test_overlap_mesh_matches_single_device(overlap_env):
+    """Overlapped cycles under a ("part",) mesh are bit-identical to the
+    single-device overlapped run (VERDICT r4 next-#7: the mesh path can
+    overlap too — the A/B gather runs on global arrays before shard_map).
+    device_partitions=16 keeps the selection width (P//2 = 8) identical
+    with and without the 8-way mesh, so trajectories must match exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 CPU devices"
+    mesh = Mesh(np.array(devs[:8]), axis_names=("part",))
+
+    def drive(m):
+        run = make_run(seed=17, device_partitions=16, mesh=m)
+        run.topology_burst_chunks = 2
+        assert run._overlap_active()
+        run.do_mcmc_steps(1600)
+        return run
+
+    r_mesh = drive(mesh)
+    r_one = drive(None)
+    assert float(r_mesh.ledger.log_G) == float(r_one.ledger.log_G)
+    assert np.array_equal(np.asarray(r_mesh.ts.t), np.asarray(r_one.ts.t))
+    assert np.array_equal(np.asarray(r_mesh.ts.mut_t),
+                          np.asarray(r_one.ts.mut_t))
+    assert r_mesh.topology_proposed == r_one.topology_proposed
+    r_mesh.check_derived_quantities(1e-6)
 
 
 def test_overlap_skygrid_cycle(overlap_env):
