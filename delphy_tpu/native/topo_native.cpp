@@ -328,6 +328,22 @@ static inline void push_front_d(Deltas& d, int32_t site, int8_t frm, int8_t to) 
   }
 }
 
+static inline void pop_front_d(Deltas& d, const Mut& m) {
+  // drop a leading from->to delta at m's site (the path previously started
+  // just above m, now just below); exact inverse of push_front_d for the
+  // same mutation (site_deltas.h:100-128 semantics)
+  auto it = d.find(m.site);
+  if (it != d.end()) {
+    if (it->second.from != m.from) throw DeltaChainBroken();
+    if (m.to == it->second.to)
+      d.erase(it);
+    else
+      it->second.from = m.to;
+  } else {
+    d.v.emplace_back(m.site, FT{m.to, m.from});
+  }
+}
+
 static void compose_d(const Deltas& d1, const Deltas& d2, Deltas& out) {
   out = d1;
   for (const auto& kv : d2) push_back_d(out, kv.first, kv.second.from, kv.second.to);
@@ -1904,20 +1920,30 @@ struct CandidateRegion {
 };
 
 struct SprStudyBuilder {
-  // resettable: one instance per Mixer is reused across moves so the work
-  // stack / region list / delta map keep their capacity (they were ~10% of
-  // the kernel's CPU as per-move allocations)
+  // Candidate-region flood: DFS-with-undo over the inter-mutation segment
+  // graph (one vertex per stretch of a branch between consecutive
+  // mutations / node ends; edges cross a mutation within a branch or a
+  // node between branches).  Each frame carries the inverse of its entry
+  // crossing, applied when the frame pops — this repo's own decomposition
+  // (round 5); spr_study.cpp:26-120 is the spec for WHAT to enumerate
+  // (region set, min-mut counts, bound semantics), and the exploration
+  // order (high child, low child / down-mutation first, then up) is pinned
+  // by the move-for-move tests.  Resettable: one instance per Mixer reuses
+  // the frame / region / delta-map capacity across moves.
   const Tree* tree_p = nullptr;
   int32_t X = NO_NODE;
   double t_X = 0.0;
   const Sites* missing_at_X_p = nullptr;
   int64_t max_muts_from_start = 0;
-  int32_t cur_branch = NO_NODE;
-  int32_t cur_mut_idx = -1;
-  int64_t cur_muts_from_start = 0;
-  Deltas cur_to_X_deltas;
-  // work item: (branch, mut_idx, is_backtracking)
-  std::vector<std::tuple<int32_t, int32_t, bool>> work_stack;
+  Deltas cur_to_X_deltas;  // running map during the flood (reused)
+  struct Frame {
+    int32_t b, i;            // this segment
+    int32_t came_b, came_i;  // segment we entered from (excluded)
+    int8_t cursor;           // 0 first-down, 1 low child, 2 up, 3 done
+    int8_t undo_kind;        // 0 none, 1 re-push, 2 re-pop
+    Mut undo_mut;
+  };
+  std::vector<Frame> frames;
   std::vector<CandidateRegion> result;
 
   SprStudyBuilder() = default;
@@ -1933,11 +1959,8 @@ struct SprStudyBuilder {
     t_X = t_X_;
     missing_at_X_p = &miss;
     max_muts_from_start = limit;
-    cur_branch = NO_NODE;
-    cur_mut_idx = -1;
-    cur_muts_from_start = 0;
     cur_to_X_deltas.clear();
-    work_stack.clear();
+    frames.clear();
     result.clear();
   }
 
@@ -1949,122 +1972,112 @@ struct SprStudyBuilder {
     return muts[mut_idx - 1].t;
   }
 
-  void pop_front_m(const Mut& m) {
-    // path previously started just above m; now it starts just below m
-    auto it = cur_to_X_deltas.find(m.site);
-    if (it != cur_to_X_deltas.end()) {
-      if (it->second.from != m.from) throw DeltaChainBroken();
-      if (m.to == it->second.to)
-        cur_to_X_deltas.erase(it);
-      else
-        it->second.from = m.to;
-    } else {
-      cur_to_X_deltas.emplace(m.site, FT{m.to, m.from});
-    }
-  }
-
-  void move_to_neighbor(int32_t tb, int32_t ti, bool is_backtracking) {
+  void record(int32_t b, int32_t i) {
     const Tree& tree = *tree_p;
-    const Sites& missing_at_X = *missing_at_X_p;
-    if (cur_branch != NO_NODE && tb == cur_branch) {
-      const auto& muts = tree.nodes[cur_branch].muts;
-      if (ti == cur_mut_idx + 1) {  // moving down past cur
-        const Mut& m = muts[cur_mut_idx];
-        if (!sites_contains(missing_at_X, m.site)) {
-          pop_front_m(m);
-          cur_muts_from_start += is_backtracking ? -1 : 1;
-        }
-      } else {  // ti == cur_mut_idx - 1: moving up past target
-        const Mut& m = muts[ti];
-        if (!sites_contains(missing_at_X, m.site)) {
-          push_front_d(cur_to_X_deltas, m.site, m.from, m.to);
-          cur_muts_from_start += is_backtracking ? -1 : 1;
-        }
-      }
-    }
-    cur_branch = tb;
-    cur_mut_idx = ti;
-  }
-
-  void visit_cur_region() {
-    const Tree& tree = *tree_p;
-    int32_t b = cur_branch, mi = cur_mut_idx;
     const auto& muts = tree.nodes[b].muts;
     double t_min, t_max;
-    if (b == tree.root)
+    if (b == tree.root) {
       t_min = NEG_BIG;
-    else if (mi == 0)
-      t_min = tree.nodes[tree.nodes[b].parent].t;
-    else
-      t_min = muts[mi - 1].t;
-    if (b == tree.root)
       t_max = tree.nodes[b].t;
-    else if (mi == (int32_t)muts.size())
-      t_max = tree.nodes[b].t;
-    else
-      t_max = muts[mi].t;
-    result.push_back(CandidateRegion{b, mi, t_min, t_max,
-                                     (int32_t)cur_to_X_deltas.size()});
-  }
-
-  void seed_neighbors_except(int32_t old_branch, int32_t old_mut_idx) {
-    const Tree& tree = *tree_p;
-    int32_t cb = cur_branch, ci = cur_mut_idx;
-    if (cb != tree.root) {
-      if (ci > 0) {
-        if (!(cb == old_branch && ci - 1 == old_mut_idx)) {
-          work_stack.emplace_back(cb, ci, true);
-          work_stack.emplace_back(cb, ci - 1, false);
-        }
-      } else {
-        int32_t pb = tree.nodes[cb].parent;
-        int32_t ni = (int32_t)tree.nodes[pb].muts.size();
-        if (!(pb == old_branch && ni == old_mut_idx)) {
-          work_stack.emplace_back(cb, ci, true);
-          work_stack.emplace_back(pb, ni, false);
-        }
-      }
-    }
-    if (ci < (int32_t)tree.nodes[cb].muts.size()) {
-      if (!(cb == old_branch && ci + 1 == old_mut_idx)) {
-        work_stack.emplace_back(cb, ci, true);
-        work_stack.emplace_back(cb, ci + 1, false);
-      }
     } else {
-      for (int32_t child : {tree.nodes[cb].c0, tree.nodes[cb].c1}) {
-        if (child != NO_NODE) {
-          if (!(child == old_branch && 0 == old_mut_idx)) {
-            work_stack.emplace_back(cb, ci, true);
-            work_stack.emplace_back(child, 0, false);
-          }
-        }
-      }
+      t_min = (i == 0) ? tree.nodes[tree.nodes[b].parent].t : muts[i - 1].t;
+      t_max = (i == (int32_t)muts.size()) ? tree.nodes[b].t : muts[i].t;
     }
-  }
-
-  bool cur_region_in_scope() const {
-    return cur_branch != X && cur_muts_from_start <= max_muts_from_start;
-  }
-
-  void do_pending_work() {
-    while (!work_stack.empty()) {
-      auto [tb, ti, back] = work_stack.back();
-      work_stack.pop_back();
-      int32_t old_branch = cur_branch, old_idx = cur_mut_idx;
-      move_to_neighbor(tb, ti, back);
-      if (!back && cur_region_in_scope()) {
-        visit_cur_region();
-        seed_neighbors_except(old_branch, old_idx);
-      }
-    }
+    result.push_back(CandidateRegion{b, i, t_min, t_max,
+                                     (int32_t)cur_to_X_deltas.size()});
   }
 
   void seed_fill_from(int32_t init_branch, int32_t init_mut_idx,
                       const Deltas& init_to_X_deltas, bool can_change_root) {
+    const Tree& tree = *tree_p;
+    const Sites& missing_at_X = *missing_at_X_p;
     cur_to_X_deltas = init_to_X_deltas;
-    work_stack.emplace_back(cur_branch, cur_mut_idx, true);
-    work_stack.emplace_back(init_branch, init_mut_idx, false);
-    do_pending_work();
+    int64_t count = 0;  // path mutations from the seed (the bound)
+
+    if (init_branch != X && count <= max_muts_from_start) {
+      record(init_branch, init_mut_idx);
+      frames.push_back(Frame{init_branch, init_mut_idx, -2, -2, 0, 0, Mut{}});
+      while (!frames.empty()) {
+        Frame& fr = frames.back();
+        int32_t b = fr.b, i = fr.i;
+        const auto& muts = tree.nodes[b].muts;
+        int32_t nb_b = NO_NODE, nb_i = -1;
+        const Mut* m = nullptr;
+        bool up = false;
+        switch (fr.cursor) {
+          case 0:
+            fr.cursor = 1;
+            if (i == (int32_t)muts.size()) {
+              if (tree.nodes[b].c1 != NO_NODE) {
+                nb_b = tree.nodes[b].c1;
+                nb_i = 0;
+              }
+            } else {
+              nb_b = b;
+              nb_i = i + 1;
+              m = &muts[i];
+            }
+            break;
+          case 1:
+            fr.cursor = 2;
+            if (i == (int32_t)muts.size() && tree.nodes[b].c0 != NO_NODE) {
+              nb_b = tree.nodes[b].c0;
+              nb_i = 0;
+            }
+            break;
+          case 2:
+            fr.cursor = 3;
+            if (b != tree.root) {
+              if (i > 0) {
+                nb_b = b;
+                nb_i = i - 1;
+                m = &muts[i - 1];
+                up = true;
+              } else {
+                nb_b = tree.nodes[b].parent;
+                nb_i = (int32_t)tree.nodes[nb_b].muts.size();
+              }
+            }
+            break;
+          default:  // exhausted: undo the entry crossing, pop the frame
+            if (fr.undo_kind == 1) {
+              push_front_d(cur_to_X_deltas, fr.undo_mut.site,
+                           fr.undo_mut.from, fr.undo_mut.to);
+              count--;
+            } else if (fr.undo_kind == 2) {
+              pop_front_d(cur_to_X_deltas, fr.undo_mut);
+              count--;
+            }
+            frames.pop_back();
+            continue;
+        }
+        if (nb_b == NO_NODE || (nb_b == fr.came_b && nb_i == fr.came_i))
+          continue;  // no neighbor there / came from there
+        int8_t undo = 0;
+        Mut undo_m{};
+        if (m != nullptr && !sites_contains(missing_at_X, m->site)) {
+          if (up) {
+            push_front_d(cur_to_X_deltas, m->site, m->from, m->to);
+            undo = 2;
+          } else {
+            pop_front_d(cur_to_X_deltas, *m);
+            undo = 1;
+          }
+          undo_m = *m;
+          count++;
+        }
+        if (nb_b != X && count <= max_muts_from_start) {
+          record(nb_b, nb_i);
+          frames.push_back(Frame{nb_b, nb_i, b, i, 0, undo, undo_m});
+        } else if (undo == 1) {  // out of scope: revert immediately
+          push_front_d(cur_to_X_deltas, undo_m.site, undo_m.from, undo_m.to);
+          count--;
+        } else if (undo == 2) {
+          pop_front_d(cur_to_X_deltas, undo_m);
+          count--;
+        }
+      }
+    }
     account_for_Xs_detachment(can_change_root);
     remove_regions_in_Xs_future();
   }

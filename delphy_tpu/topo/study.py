@@ -34,8 +34,37 @@ class CandidateRegion:
         return self.t_min == NEG_BIG
 
 
+def _pop_front(deltas: dict, m):
+    """Drop a leading from->to delta at m's site: the path previously
+    started just above m, now it starts just below (site_deltas.h:100-128).
+    Exact inverse of sd.push_front for the same mutation."""
+    if m.site in deltas:
+        f0, t0 = deltas[m.site]
+        assert f0 == m.from_
+        if m.to == t0:
+            del deltas[m.site]
+        else:
+            deltas[m.site] = (m.to, t0)
+    else:
+        deltas[m.site] = (m.to, m.from_)
+
+
 class SprStudyBuilder:
-    """Work-stack DFS over inter-mutation regions (spr_study.h:71-205)."""
+    """Candidate-region enumeration: DFS-with-undo over the segment graph.
+
+    One vertex per inter-mutation segment of a branch ((b, i) = the stretch
+    of branch b between mutation i-1 and mutation i, or the adjacent node
+    ends); edges cross either a mutation within a branch or a node between
+    branches.  Crossing a non-missing mutation prepends/pops its site delta
+    on the running X-deltas map and counts toward the path-mutation bound;
+    node crossings are free.  Each DFS frame carries an undo record (the
+    crossing's inverse map operation), applied when the frame pops — no
+    walker state machine, no paired backtrack work items.
+
+    spr_study.cpp:26-120 is the spec for WHAT to enumerate (region set,
+    min-mut counts, bound semantics); the segment-frame traversal here is
+    this repo's own decomposition.  Exploration order matches the move-for-
+    move pin tests: children high-to-low / down-mutation first, then up."""
 
     def __init__(self, tree: FlatTree, X: int, t_X: float, missing_at_X: set,
                  max_muts_from_start: int = 2 ** 31):
@@ -44,11 +73,6 @@ class SprStudyBuilder:
         self.t_X = t_X
         self.missing_at_X = missing_at_X
         self.max_muts_from_start = max_muts_from_start
-        self.cur_branch = NO_NODE
-        self.cur_mut_idx = -1
-        self.cur_muts_from_start = 0
-        self.cur_to_X_deltas: dict = {}
-        self.work_stack: list = []
         self.result: list = []
 
     def region_t_min(self, branch, mut_idx):
@@ -60,121 +84,101 @@ class SprStudyBuilder:
             return float(t.t[int(t.parent[branch])])
         return muts[mut_idx - 1].t
 
-    def region_t_max(self, branch, mut_idx):
-        t = self.tree
-        if branch == t.root:
-            return float(t.t[branch])
-        muts = t.mutations[branch]
-        if mut_idx == len(muts):
-            return float(t.t[branch])
-        return muts[mut_idx].t
-
-    def add_forward_movement(self, target_branch, target_mut_idx):
-        self.work_stack.append((self.cur_branch, self.cur_mut_idx, True))
-        self.work_stack.append((target_branch, target_mut_idx, False))
-
-    def move_to_neighbor(self, target_branch, target_mut_idx, is_backtracking):
-        t = self.tree
-        if self.cur_branch != NO_NODE and target_branch == self.cur_branch:
-            muts = t.mutations[self.cur_branch]
-            if target_mut_idx == self.cur_mut_idx + 1:   # moving down past cur
-                m = muts[self.cur_mut_idx]
-                if m.site not in self.missing_at_X:
-                    self._pop_front(m)
-                    self.cur_muts_from_start += (1 if not is_backtracking else -1)
-            elif target_mut_idx == self.cur_mut_idx - 1:  # moving up past target
-                m = muts[target_mut_idx]
-                if m.site not in self.missing_at_X:
-                    sd.push_front(self.cur_to_X_deltas, m.site, m.from_, m.to)
-                    self.cur_muts_from_start += (1 if not is_backtracking else -1)
-            else:
-                raise AssertionError("inconsistent work item")
-        self.cur_branch = target_branch
-        self.cur_mut_idx = target_mut_idx
-
-    def _pop_front(self, m):
-        """pop_front_site_deltas: path previously started just above m; now it
-        starts just below m (site_deltas.h:100-128)."""
-        d = self.cur_to_X_deltas
-        if m.site in d:
-            f0, t0 = d[m.site]
-            assert f0 == m.from_
-            if m.to == t0:
-                del d[m.site]
-            else:
-                d[m.site] = (m.to, t0)
-        else:
-            d[m.site] = (m.to, m.from_)
-
-    def visit_cur_region(self):
-        # plain tuples during the DFS; CandidateRegion objects materialize
-        # once in seed_fill_from (object churn dominates the hot loop)
-        b, mi = self.cur_branch, self.cur_mut_idx
-        t = self.tree
-        muts = t.mutations[b]
-        if b == t.root:
-            t_min = NEG_BIG
-        elif mi == 0:
-            t_min = float(t.t[t.parent[b]])
-        else:
-            t_min = muts[mi - 1].t
-        if b == t.root:
-            t_max = float(t.t[b])
-        elif mi == len(muts):
-            t_max = float(t.t[b])
-        else:
-            t_max = muts[mi].t
-        self.result.append((b, mi, t_min, t_max, len(self.cur_to_X_deltas)))
-
-    def seed_neighbors_except(self, old_branch, old_mut_idx):
-        t = self.tree
-        cb, ci = self.cur_branch, self.cur_mut_idx
-        stack = self.work_stack
-
-        if cb != t.root:
-            if ci > 0:
-                if not (cb == old_branch and ci - 1 == old_mut_idx):
-                    stack.append((cb, ci, True))
-                    stack.append((cb, ci - 1, False))
-            else:
-                pb = int(t.parent[cb])
-                ni = len(t.mutations[pb])
-                if not (pb == old_branch and ni == old_mut_idx):
-                    stack.append((cb, ci, True))
-                    stack.append((pb, ni, False))
-        if ci < len(t.mutations[cb]):
-            if not (cb == old_branch and ci + 1 == old_mut_idx):
-                stack.append((cb, ci, True))
-                stack.append((cb, ci + 1, False))
-        else:
-            for child in t.children[cb]:
-                if child != NO_NODE:
-                    child = int(child)
-                    if not (child == old_branch and 0 == old_mut_idx):
-                        stack.append((cb, ci, True))
-                        stack.append((child, 0, False))
-
-    def do_pending_work(self):
-        while self.work_stack:
-            tb, ti, back = self.work_stack.pop()
-            old_branch, old_idx = self.cur_branch, self.cur_mut_idx
-            self.move_to_neighbor(tb, ti, back)
-            if not back and self._cur_region_in_scope():
-                self.visit_cur_region()
-                self.seed_neighbors_except(old_branch, old_idx)
-
-    def _cur_region_in_scope(self):
-        return (self.cur_branch != self.X
-                and self.cur_muts_from_start <= self.max_muts_from_start)
-
     def seed_fill_from(self, init_branch, init_mut_idx, init_to_X_deltas,
                        can_change_root):
-        self.cur_to_X_deltas = dict(init_to_X_deltas)
-        self.add_forward_movement(init_branch, init_mut_idx)
-        self.do_pending_work()
+        tree = self.tree
+        muts_of = tree.mutations
+        parent = tree.parent
+        children = tree.children
+        root = tree.root
+        miss = self.missing_at_X
+        X = self.X
+        limit = self.max_muts_from_start
+        deltas = dict(init_to_X_deltas)
+        count = 0          # path mutations from the seed (the bound)
+        res = []           # (b, i, t_min, t_max, |deltas|) in visit order
+
+        def record(b, i):
+            muts = muts_of[b]
+            if b == root:
+                tmin, tmax = NEG_BIG, float(tree.t[b])
+            else:
+                tmin = float(tree.t[int(parent[b])]) if i == 0 \
+                    else muts[i - 1].t
+                tmax = float(tree.t[b]) if i == len(muts) else muts[i].t
+            res.append((b, i, tmin, tmax, len(deltas)))
+
+        if init_branch != X and count <= limit:
+            record(init_branch, init_mut_idx)
+            # frame: [b, i, came_b, came_i, cursor, undo_kind, undo_mut]
+            # undo_kind: 0 none, 1 re-push (entry popped), 2 re-pop (entry
+            # pushed); cursor: 0 first down neighbor, 1 second (low child),
+            # 2 up, 3 exhausted
+            stack = [[init_branch, init_mut_idx, -2, -2, 0, 0, None]]
+            while stack:
+                fr = stack[-1]
+                b, i = fr[0], fr[1]
+                muts = muts_of[b]
+                nb = m = None
+                up = False
+                cur = fr[4]
+                if cur == 0:
+                    fr[4] = 1
+                    if i == len(muts):
+                        c1 = int(children[b][1])
+                        if c1 != NO_NODE:
+                            nb = (c1, 0)
+                    else:
+                        nb, m = (b, i + 1), muts[i]
+                elif cur == 1:
+                    fr[4] = 2
+                    if i == len(muts):
+                        c0 = int(children[b][0])
+                        if c0 != NO_NODE:
+                            nb = (c0, 0)
+                elif cur == 2:
+                    fr[4] = 3
+                    if b != root:
+                        if i > 0:
+                            nb, m, up = (b, i - 1), muts[i - 1], True
+                        else:
+                            pb = int(parent[b])
+                            nb = (pb, len(muts_of[pb]))
+                else:  # exhausted: undo the entry crossing, pop the frame
+                    if fr[5] == 1:
+                        sd.push_front(deltas, fr[6].site, fr[6].from_,
+                                      fr[6].to)
+                        count -= 1
+                    elif fr[5] == 2:
+                        _pop_front(deltas, fr[6])
+                        count -= 1
+                    stack.pop()
+                    continue
+                if nb is None or (nb[0] == fr[2] and nb[1] == fr[3]):
+                    continue  # no neighbor there / came from there
+                undo, undo_m = 0, None
+                if m is not None and m.site not in miss:
+                    if up:
+                        sd.push_front(deltas, m.site, m.from_, m.to)
+                        undo = 2
+                    else:
+                        _pop_front(deltas, m)
+                        undo = 1
+                    undo_m = m
+                    count += 1
+                tb, ti = nb
+                if tb != X and count <= limit:
+                    record(tb, ti)
+                    stack.append([tb, ti, b, i, 0, undo, undo_m])
+                elif undo == 1:  # out of scope: revert immediately
+                    sd.push_front(deltas, undo_m.site, undo_m.from_, undo_m.to)
+                    count -= 1
+                elif undo == 2:
+                    _pop_front(deltas, undo_m)
+                    count -= 1
         self.result = [CandidateRegion(branch=b, mut_idx=mi, t_min=tmin,
                                        t_max=tmax, min_muts=mm)
-                       for (b, mi, tmin, tmax, mm) in self.result]
+                       for (b, mi, tmin, tmax, mm) in res]
         self._account_for_Xs_detachment(can_change_root)
         self._remove_regions_in_Xs_future()
 
