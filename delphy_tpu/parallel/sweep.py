@@ -449,7 +449,7 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
                    n_blocks, t_max_tip, hyp, num_cells: int,
                    k_max: int, reform_batch: int, mesh=None,
                    allow_pallas: bool = True, param_moves: bool = True,
-                   part_sel=None):
+                   part_sel=None, nb_max: int = PALLAS_NB_MAX):
     """One boundary: global moves (replicated) + partitioned local sweep.
     With mesh=None the parts fan out via vmap on one device; with a mesh they
     shard over its ("part",) axis under shard_map with psum reassembly.
@@ -518,10 +518,14 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
             stat, ctx_arrs, shared = bp.pack_chain_inputs(
                 ctx_s, sh, pop_params, k_p_s, t_p_s, mut_t_p_s, cpb=cpb,
                 no_single=_NO_SINGLE, no_reform=_NO_REFORM)
+            # nb_max sizes the pre-generated uniform streams (and so the
+            # block budget one boundary can spend); the overlap driver's
+            # half-width sweeps pass 2x the default so the active half can
+            # still deliver the full per-boundary cadence (round 5)
             u = bp.gen_block_uniforms_from_keys(
                 jax.vmap(lambda k: jax.random.fold_in(k, 0x5157))(keys_s),
-                PALLAS_NB_MAX, stat.NC, stat.MC, dtype=t_p_s.dtype)
-            nb = jnp.minimum(n_blocks, PALLAS_NB_MAX)
+                nb_max, stat.NC, stat.MC, dtype=t_p_s.dtype)
+            nb = jnp.minimum(n_blocks, nb_max)
             if jax.default_backend() == "tpu":
                 outs = bp.sweep_chain_pallas(stat, nb, ctx_arrs, shared, u)
             else:
@@ -582,12 +586,13 @@ def _boundary_body(ts: TreeState, evo, pop_params, key, tin, tout, pm,
 
 @partial(jax.jit, static_argnames=("hyp", "num_cells", "n_boundaries",
                                    "k_max", "reform_batch", "allow_pallas",
-                                   "mesh", "param_moves"))
+                                   "mesh", "param_moves", "nb_max"))
 def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
                            pm, n_blocks, t_max_tip, hyp, num_cells: int,
                            n_boundaries: int, k_max: int, reform_batch: int,
                            allow_pallas: bool = True, mesh=None,
-                           param_moves: bool = True, part_sel=None):
+                           param_moves: bool = True, part_sel=None,
+                           nb_max: int = PALLAS_NB_MAX):
     """n_boundaries partitioned super-steps in ONE dispatch.
 
     mesh=None fans the parts out via vmap on one device; with a
@@ -610,7 +615,7 @@ def parts_multi_super_step(ts: TreeState, evo, pop_params, key, tin, tout,
             ts, evo, pop_params, key, tin, tout, pm, n_blocks, t_max_tip,
             hyp, num_cells, k_max, reform_batch, mesh=mesh,
             allow_pallas=allow_pallas, param_moves=param_moves,
-            part_sel=part_sel)
+            part_sel=part_sel, nb_max=nb_max)
         return (ts, evo, pop_params, key), (ledger, stats)
 
     (ts, evo, pop_params, key), (ledgers, stats_seq) = jax.lax.scan(

@@ -487,7 +487,11 @@ class Run:
             from . import pop as _popm
             use_pallas = (self._allow_pallas and pallas_enabled()
                           and isinstance(self.pop, _popm.ExpPopParams))
-            nb_cap = PALLAS_NB_MAX if use_pallas else 512
+            # the active half sweeps with HALF the parts, so it needs ~2x
+            # the block budget of a full-width boundary to deliver the same
+            # per-boundary cadence (round-5 measured: at the 64-block cap
+            # the half-width sweep under-delivered 21.4M of a 30M target)
+            nb_cap = 2 * PALLAS_NB_MAX if use_pallas else 512
             n_blocks = max(1, min(nb_cap, round(
                 per_boundary / max(1.0, self._per_block_rate * n_dev
                                    / max(1, n_real)))))
@@ -497,7 +501,8 @@ class Run:
                 n_blocks, self.t_max_tip, self.hyp, self.num_cells,
                 boundaries, self._sweep_k_max, self._sweep_reform_batch,
                 allow_pallas=self._allow_pallas, mesh=self.mesh,
-                param_moves=False, part_sel=jnp.asarray(sel))
+                param_moves=False, part_sel=jnp.asarray(sel),
+                nb_max=nb_cap if use_pallas else PALLAS_NB_MAX)
 
             _stage("dispatch G+L enqueued")
             # pull G's params (small; blocks only until G completes) and run

@@ -40,7 +40,13 @@ def main():
         f"m_cap={run._m_cap_sticky} lmpgm={run.local_moves_per_global_move} "
         f"chunks={run.topology_burst_chunks}")
     cadence = run.local_moves_per_global_move
-    warm = cadence * min(2, run.topology_burst_chunks)
+    # warm with ONE FULL outer call so every boundary-count variant the
+    # measured loop will dispatch (e.g. the overlap driver's 3-boundary
+    # steady cycle AND its remainder cycle) is compiled before the window —
+    # round-5 measured ~230 s of in-window one-time compiles otherwise
+    warm = cadence * run.topology_burst_chunks
+    if os.environ.get("CYCLE_WARM_SHORT", "0") == "1":
+        warm = cadence * min(2, run.topology_burst_chunks)
     tW = time.time()
     run.do_mcmc_steps(warm)
     _ = run.local_moves_attempted
