@@ -395,9 +395,17 @@ class Run:
         (non-overlapped) boundary so no kernel reads params another writes."""
         import os
         env = os.environ.get("DELPHY_TPU_OVERLAP", "auto")
-        if env == "0" or env == "auto":
-            # default OFF until the measured TPU comparison flips it
-            # (doc/BENCH_LOG_r04.md); enable with DELPHY_TPU_OVERLAP=1
+        if env == "0":
+            return False
+        if env == "auto" and self.local_moves_per_global_move <= 2_000_000:
+            # measured (doc/BENCH_LOG_r05.md): overlap wins decisively in
+            # the amortize regime — +32% at 3-boundary and +88% at
+            # 9-boundary cycles at 100k tips, with 3-10x tighter topology
+            # cadence — but loses at small scales where its per-cycle
+            # fixed costs (~7-8 s of host merge work at 100k, proportions
+            # worse at SARS/10k) outweigh the hidden burst
+            # (doc/BENCH_LOG_r04.md: chunks=2+overlap at 10k halved ESS/h).
+            # The threshold matches the interleave/amortize switch above.
             return False
         n_real = len(self._last_cuts) + 1
         # single-process meshes overlap (the A/B gather happens on global
@@ -422,8 +430,15 @@ class Run:
         import os as _os
 
         cadence = self.local_moves_per_global_move
+        # overlapped cycles default to a BIGGER dispatch cap than blocking
+        # (96M vs 32M): the fixed merge costs (~7-8 s/cycle at 100k) are
+        # per-cycle, so more boundaries per cycle amortize them — measured
+        # 1.76M (3-boundary) -> 2.49M moves/s (9-boundary) at 100k
+        # (doc/BENCH_LOG_r05.md).  The device L-dispatch stays ~17-20 s,
+        # far below the multi-minute watchdog regime the 32M blocking cap
+        # guards against.
         max_dispatch = int(_os.environ.get("DELPHY_TPU_MAX_DISPATCH_MOVES",
-                                           str(32_000_000)))
+                                           str(96_000_000)))
         _verbose = _os.environ.get("DELPHY_TPU_BURST_VERBOSE") == "1"
         import time as _time
         _tl = [_time.monotonic()]
