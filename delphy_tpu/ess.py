@@ -41,3 +41,14 @@ def ess(x: np.ndarray) -> float:
         s += pair
     tau = 1.0 + 2.0 * s
     return float(min(n, n / max(tau, 1.0)))
+
+
+def mcse(x: np.ndarray) -> float:
+    """ESS-aware Monte-Carlo standard error of the mean: s / sqrt(ESS).
+    The iid s/sqrt(n) formula understates the error ~tau-fold on
+    autocorrelated chains (measured ~3x small in the round-4 cadence
+    study; tests/test_mcmc.py cadence statistics)."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < 4:
+        return float("inf")
+    return float(np.std(x, ddof=1) / np.sqrt(max(ess(x), 1.0)))

@@ -125,6 +125,12 @@ def main():
         "ess_per_hour_mu": round(ess(np.array(mus)) / hours, 1),
         "ess_per_hour_t_root": round(ess(np.array(troots)) / hours, 1),
     }
+    from delphy_tpu.ess import mcse
+    out["sd_log_post"] = round(float(np.std(lp, ddof=1)), 3)
+    out["mcse_log_post"] = round(mcse(np.array(lp)), 3)
+    out["mcse_mu_rel"] = round(mcse(np.array(mus))
+                               / max(abs(np.mean(mus)), 1e-300), 4)
+    out["mcse_t_root"] = round(mcse(np.array(troots)), 2)
     print(json.dumps(out), flush=True)
 
 
