@@ -109,12 +109,15 @@ class Run:
         # doc/BENCH_LOG_r04.md): at 10k tips, interleaved bursts (chunks=2)
         # give ~6x the per-move mixing — 3x the ESS/hour at half the
         # moves/s — so the old 32-boundary floor was exactly backwards
-        # there; at 100k tips the same A/B (from a shared 3B-move burned
-        # snapshot) shows only ~1.6x per-move mixing for a 4x throughput
-        # cost, so amortized bursts win per hour and the 32 floor stays.
-        # The lm gate below switches at ~20k tips (lm = 50*num_nodes ≈
-        # 100*tips); the true ESS/h crossover lies somewhere in 10k-100k
-        # and is being located with a mid-scale A/B (round 5).
+        # there.  Above the lm gate below (~20k tips; lm = 50*num_nodes ≈
+        # 100*tips) the driver defaults to the OVERLAPPED cycle
+        # (_overlap_active), which bursts every cycle — tighter cadence
+        # AND more throughput (+88% at 100k, doc/BENCH_LOG_r05.md), so
+        # the interleave-vs-amortize tension only remains for the
+        # blocking driver.  The round-5 100k cadence table (BENCH_LOG_r05)
+        # also found the old "4x throughput cost at tight cadence"
+        # premise obsolete (chunks=2 now costs ~-19% at 100k) and that
+        # 30-min windows cannot resolve ESS/h at 100k (ESS 3-5/window).
         self.topology_burst_chunks = 32  # reset below once cadence is known
         # restencil cadence is DECOUPLED from topology_burst_chunks: raising
         # the burst chunk count for small trees must not also stretch how
