@@ -86,6 +86,13 @@ class SprStudyBuilder:
 
     def seed_fill_from(self, init_branch, init_mut_idx, init_to_X_deltas,
                        can_change_root):
+        self._raw_fill(init_branch, init_mut_idx, init_to_X_deltas)
+        self._account_for_Xs_detachment(can_change_root)
+        self._remove_regions_in_Xs_future()
+
+    def _raw_fill(self, init_branch, init_mut_idx, init_to_X_deltas):
+        """DFS visit set before the detachment rewrites (also pinned directly
+        by the device-flood equivalence test, test_jit_spr_study.py)."""
         tree = self.tree
         muts_of = tree.mutations
         parent = tree.parent
@@ -179,8 +186,6 @@ class SprStudyBuilder:
         self.result = [CandidateRegion(branch=b, mut_idx=mi, t_min=tmin,
                                        t_max=tmax, min_muts=mm)
                        for (b, mi, tmin, tmax, mm) in res]
-        self._account_for_Xs_detachment(can_change_root)
-        self._remove_regions_in_Xs_future()
 
     def _account_for_Xs_detachment(self, can_change_root):
         """spr_study.cpp:130-208."""

@@ -231,11 +231,9 @@ def test_jit_study_flood_vmaps_over_detach_candidates():
         # wrapper applies host-side and the per-X test already pins)
         b = SprStudyBuilder(tree, int(X), float(tree.t[X]), set(),
                             max_muts_from_start=1)
-        b.cur_to_X_deltas = {}
-        b.add_forward_movement(S, 0)
-        b.do_pending_work()
-        host_rids = sorted(int(rid_base[br]) + mi
-                           for (br, mi, _, _, _) in b.result)
+        b._raw_fill(S, 0, {})
+        host_rids = sorted(int(rid_base[r.branch]) + r.mut_idx
+                           for r in b.result)
         got = sorted(np.nonzero(reach0[row] | reach1[row])[0].tolist())
         assert got == host_rids, (X, got, host_rids)
 
