@@ -109,15 +109,17 @@ class Run:
         # doc/BENCH_LOG_r04.md): at 10k tips, interleaved bursts (chunks=2)
         # give ~6x the per-move mixing — 3x the ESS/hour at half the
         # moves/s — so the old 32-boundary floor was exactly backwards
-        # there.  Above the lm gate below (~20k tips; lm = 50*num_nodes ≈
-        # 100*tips) the driver defaults to the OVERLAPPED cycle
+        # there.  The round-5 30k point (doc/BENCH_LOG_r05.md) locates the
+        # crossover: at 30k tips (lm=3M) chunks=2's ~1.3x per-move mixing
+        # only cancels its -29% moves/s (ESS/h 42.3 vs 45.6, a tie), so
+        # the interleave gate below (2M lm ≈ 20k tips) stands.  Above
+        # ~60k tips (6M lm) the driver defaults to the OVERLAPPED cycle
         # (_overlap_active), which bursts every cycle — tighter cadence
-        # AND more throughput (+88% at 100k, doc/BENCH_LOG_r05.md), so
-        # the interleave-vs-amortize tension only remains for the
-        # blocking driver.  The round-5 100k cadence table (BENCH_LOG_r05)
-        # also found the old "4x throughput cost at tight cadence"
-        # premise obsolete (chunks=2 now costs ~-19% at 100k) and that
-        # 30-min windows cannot resolve ESS/h at 100k (ESS 3-5/window).
+        # AND more throughput (+88% at 100k, doc/BENCH_LOG_r05.md).  The
+        # round-5 100k cadence table also found the old "4x throughput
+        # cost at tight cadence" premise obsolete (chunks=2 now costs
+        # ~-19% at 100k) and that 30-min windows cannot resolve ESS/h at
+        # 100k (ESS 3-5/window).
         self.topology_burst_chunks = 32  # reset below once cadence is known
         # restencil cadence is DECOUPLED from topology_burst_chunks: raising
         # the burst chunk count for small trees must not also stretch how
@@ -140,7 +142,7 @@ class Run:
         self.local_moves_per_global_move = (
             50 * N if local_moves_per_global_move == -1 else local_moves_per_global_move)
         lm = max(1, self.local_moves_per_global_move)
-        if lm <= 2_000_000:  # T <~ 40k tips: interleave (see comment above)
+        if lm <= 2_000_000:  # T <~ 20k tips: interleave (see comment above)
             self.topology_burst_chunks = max(2, min(256, 2_000_000 // lm))
         else:  # very large trees: amortize (measured at 100k tips)
             self.topology_burst_chunks = 32
@@ -400,15 +402,17 @@ class Run:
         env = os.environ.get("DELPHY_TPU_OVERLAP", "auto")
         if env == "0":
             return False
-        if env == "auto" and self.local_moves_per_global_move <= 2_000_000:
-            # measured (doc/BENCH_LOG_r05.md): overlap wins decisively in
-            # the amortize regime — +32% at 3-boundary and +88% at
-            # 9-boundary cycles at 100k tips, with 3-10x tighter topology
-            # cadence — but loses at small scales where its per-cycle
-            # fixed costs (~7-8 s of host merge work at 100k, proportions
-            # worse at SARS/10k) outweigh the hidden burst
-            # (doc/BENCH_LOG_r04.md: chunks=2+overlap at 10k halved ESS/h).
-            # The threshold matches the interleave/amortize switch above.
+        if env == "auto" and self.local_moves_per_global_move <= 6_000_000:
+            # measured (doc/BENCH_LOG_r05.md): overlap wins decisively at
+            # 100k tips (lm=10M) — +32% at 3-boundary and +88% at
+            # 9-boundary cycles, with 3-10x tighter topology cadence — but
+            # at 30k (lm=3M) its steady-state throughput merely TIES
+            # blocking (2.43M burn vs 2.36M), its cycle shape couples to
+            # the user's sampling cadence, and both measured 30k ESS/h
+            # rows favor blocking; at 10k its per-cycle fixed costs halved
+            # ESS/h outright (doc/BENCH_LOG_r04.md).  Gate at >6M local
+            # moves per boundary (~>60k tips), between the measured 30k
+            # wash and the measured 100k win.
             return False
         n_real = len(self._last_cuts) + 1
         # single-process meshes overlap (the A/B gather happens on global
