@@ -309,8 +309,15 @@ _PALLAS_ENV = os.environ.get("DELPHY_TPU_PALLAS", "auto")
 
 
 def pallas_enabled() -> bool:
+    import jax
+    # jax 0.9.0's Mosaic convert_element_type fallback (_convert_helper,
+    # pallas/mosaic/lowering.py) recurses forever on 64-bit-involved casts
+    # under the AOT forward-compatible context, so the kernels only lower in
+    # f32 mode (DELPHY_TPU_F32=1, the production TPU configuration).  Under
+    # x64 every chain falls back to its jnp twin — same math, same uniforms.
+    if jax.config.x64_enabled:
+        return False
     if _PALLAS_ENV == "auto":
-        import jax
         return jax.default_backend() == "tpu"
     return bool(int(_PALLAS_ENV))
 # static cap on blocks per boundary in the Pallas path (uniforms are

@@ -15,7 +15,14 @@ Env knobs:
                lmpgm * chunks).  Topology debt persists across calls
                (run.py), so the SAMPLING cadence no longer moves the BURST
                cadence — set this equal across ESS_CHUNKS settings for an
-               apples-to-apples cadence comparison.
+               apples-to-apples cadence comparison.  CAVEAT for overlapped
+               rows: each do_mcmc_steps call is at least one overlap CYCLE,
+               so a small ESS_SAMPLE_MOVES forces small cycles and their
+               per-cycle fixed costs (measured: 1.33M vs 2.49M moves/s at
+               100k, 1.79M vs 2.43M at 30k).  For a throughput-faithful
+               overlapped row, set ESS_SAMPLE_MOVES to the driver's natural
+               cycle (min(chunks, dispatch cap / lmpgm) boundaries) or
+               accept that the row measures the forced shape.
   ESS_BURN_MOVES  local moves to burn before the sampling window (at large
                T the parsimony start drifts for ~1B+ moves; sampling a
                trending trace measures the trend, not mixing)

@@ -77,19 +77,21 @@ def main():
         log(f"nb={nb:4d}: {dt:7.3f} s/dispatch  {att:,} moves "
             f"({att/dt/1e6:.2f} M moves/s)")
 
-    # linear fit: t = a + b*nb (per boundary)
-    nbv = np.array([r[0] for r in res], float)
-    tv = np.array([r[1] for r in res], float) / boundaries
-    A = np.vstack([np.ones_like(nbv), nbv]).T
-    (a, b), *_ = np.linalg.lstsq(A, tv, rcond=None)
-    mv = np.array([r[2] for r in res], float) / boundaries
-    moves_per_block = np.mean(mv / nbv)
-    log(f"fit per boundary: fixed a={a*1e3:.1f} ms + b={b*1e3:.3f} ms/block; "
-        f"{moves_per_block:,.0f} attempted moves/block "
-        f"=> marginal {moves_per_block/b/1e6:.2f} M moves/s")
-    log(f"HBM roofline: {in_bytes/1e9:.3f} GB state read/dispatch; at the "
-        f"fixed cost a={a:.3f}s that is {in_bytes/1e9/a:.0f} GB/s achieved "
-        f"(v5e HBM ~819 GB/s)")
+    # Measured round 5 (doc/BENCH_LOG_r05.md): a linear t = a + b*nb model
+    # does NOT describe the chain — the requested nb clamps at nb_max
+    # (PALLAS_NB_MAX / DELPHY_TPU_PALLAS_NB_MAX; VMEM scoped limit caps it
+    # at ~128 for 100k part shapes), per-dispatch cost tracks the STATIC
+    # stream width nb_max more than the blocks run, and starved dispatches
+    # (nb*batch < boundary target) are not cheaper pro rata.  Report the
+    # rows plus the two derived numbers that ARE meaningful.
+    best = min(res, key=lambda r: r[1] / max(r[2], 1))
+    log(f"best per-move: nb={best[0]} at "
+        f"{best[1]/max(best[2],1)*1e9:.0f} ns/attempted move "
+        f"({best[2]/best[1]/1e6:.2f} M moves/s)")
+    log(f"HBM check: state+maps {in_bytes/1e9:.3f} GB/dispatch => "
+        f"{in_bytes/1e9/best[1]:.1f} GB/s at the best dispatch — "
+        f"~{in_bytes/1e9/best[1]/819*100:.2f}% of the v5e's ~819 GB/s: "
+        f"the sweep is control/latency-bound, not HBM-bound")
     os._exit(0)
 
 

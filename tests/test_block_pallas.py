@@ -171,7 +171,15 @@ def test_pallas_interpret_matches_twin():
 def test_pallas_tpu_matches_twin():
     """The REAL Mosaic kernel (not interpret mode) reproduces the XLA twin
     on the same chip with the same pre-generated uniforms — the in-CI TPU
-    evidence that the production sweep kernel computes what its twin does."""
+    evidence that the production sweep kernel computes what its twin does.
+    Pinned in f32 mode (the production TPU configuration): jax 0.9.0's
+    Mosaic convert fallback recurses on 64-bit casts, see
+    parallel/sweep.py:pallas_enabled."""
+    with jax.enable_x64(False):
+        _pallas_tpu_matches_twin_body()
+
+
+def _pallas_tpu_matches_twin_body():
     run = _make_run(seed=31, P=4)
     (ts, evo, pop_params, grid, caches, ledger, ctx, sh, k_p, t_p, mut_t_p,
      k_sweep, pm) = _boundary_context(run)

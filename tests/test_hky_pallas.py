@@ -103,6 +103,15 @@ def test_chain_runner_updates_evo():
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Pallas TPU kernel needs a TPU backend")
 def test_chain_pallas_matches_twin():
+    # Pinned in f32 mode: the production TPU configuration is
+    # DELPHY_TPU_F32=1, and jax 0.9.0's Mosaic convert fallback recurses on
+    # 64-bit-involved casts (see parallel/sweep.py:pallas_enabled), so the
+    # kernels only lower with x64 off.
+    with jax.enable_x64(False):
+        _chain_pallas_matches_twin_body()
+
+
+def _chain_pallas_matches_twin_body():
     evo, Ttwiddle_a, M_ab, root_freq = _setup(5)
     hyp = PriorConfig()
     u = jax.random.uniform(jax.random.PRNGKey(7), (10, 128), jnp.float32)

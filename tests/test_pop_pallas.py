@@ -126,6 +126,13 @@ def test_chain_runner_updates_params():
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Pallas TPU kernel needs a TPU backend")
 def test_chain_pallas_matches_twin():
+    # f32 mode only: see tests/test_hky_pallas.py (Mosaic 64-bit convert
+    # fallback recursion) — production TPU runs are DELPHY_TPU_F32=1.
+    with jax.enable_x64(False):
+        _chain_pallas_matches_twin_body()
+
+
+def _chain_pallas_matches_twin_body():
     rng = np.random.default_rng(5)
     grid, t, is_tip, p = _make_grid(rng)
     hyp = PriorConfig()
